@@ -1,0 +1,48 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Must set the env vars before jax is imported anywhere, so this conftest is the
+first import in the test session. Real-TPU behavior is covered by bench.py and
+__graft_entry__.py, which the driver runs on hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import sys
+
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+def real_model_dir():
+    """Directory with the real Llama-3.1-8B files, or None (tests then skip).
+
+    Mirrors the reference's skip-if-no-model guards
+    (reference: cmd/main_test.go:52-55).
+    """
+    from llama_nuts_and_bolts_tpu.io.params import find_model_dir
+
+    candidates = [
+        os.environ.get("LNB_MODEL_DIR", ""),
+        str(REPO_ROOT / "models-original" / "Meta-Llama-3.1-8B-Instruct"),
+        "/root/models/Meta-Llama-3.1-8B-Instruct",
+    ]
+    return find_model_dir([c for c in candidates if c])
+
+
+@pytest.fixture(scope="session")
+def model_dir():
+    d = real_model_dir()
+    if d is None:
+        pytest.skip("real Llama-3.1-8B-Instruct model files not available")
+    return d
