@@ -1,0 +1,169 @@
+"""Checkpoint → device params: name/shape validation, stacking, device_put.
+
+Capability parity with the reference's model loader (reference:
+src/model/loader.go:18-197 and the shape-asserting constructors in
+src/model/llamatransformer.go:64-113,256-287,561-591): every expected tensor
+name is validated against the architecture-derived shape table before any
+bytes move, then per-layer host memmap views are stacked and shipped to device
+(optionally with a NamedSharding per weight group for tensor parallelism).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_nuts_and_bolts_tpu.io.params import ModelArgs, load_model_args
+from llama_nuts_and_bolts_tpu.io.torch_ckpt import HostTensor, load_torch_checkpoint
+from llama_nuts_and_bolts_tpu.models.llama.model import (
+    LlamaParams,
+    layer_weight_shapes,
+)
+from llama_nuts_and_bolts_tpu.models.llama.rope import precompute_rope_tables
+from llama_nuts_and_bolts_tpu.tokenizer import Vocabulary, load_tiktoken_model
+from llama_nuts_and_bolts_tpu.utils.logging import get_logger
+
+# checkpoint tensor name ↔ our layer-weight key (reference tensor names are
+# listed at src/model/llamatransformer.go:17-57)
+CKPT_LAYER_NAMES: Dict[str, str] = {
+    "attn_norm": "layers.{i}.attention_norm.weight",
+    "ffn_norm": "layers.{i}.ffn_norm.weight",
+    "wq": "layers.{i}.attention.wq.weight",
+    "wk": "layers.{i}.attention.wk.weight",
+    "wv": "layers.{i}.attention.wv.weight",
+    "wo": "layers.{i}.attention.wo.weight",
+    "w_gate": "layers.{i}.feed_forward.w1.weight",
+    "w_down": "layers.{i}.feed_forward.w2.weight",
+    "w_up": "layers.{i}.feed_forward.w3.weight",
+}
+
+
+class CheckpointShapeError(Exception):
+    pass
+
+
+def expected_tensor_shapes(cfg: ModelArgs) -> Dict[str, Tuple[int, ...]]:
+    """Full name→shape table (291 entries for the 8B config)."""
+    shapes: Dict[str, Tuple[int, ...]] = {
+        "tok_embeddings.weight": (cfg.vocab_size, cfg.dim),
+        "norm.weight": (cfg.dim,),
+        "output.weight": (cfg.vocab_size, cfg.dim),
+    }
+    per_layer = layer_weight_shapes(cfg)
+    for i in range(cfg.n_layers):
+        for key, tmpl in CKPT_LAYER_NAMES.items():
+            shapes[tmpl.format(i=i)] = per_layer[key]
+    return shapes
+
+
+def validate_checkpoint(tensors: Dict[str, HostTensor], cfg: ModelArgs) -> None:
+    expected = expected_tensor_shapes(cfg)
+    missing = sorted(set(expected) - set(tensors))
+    if missing:
+        raise CheckpointShapeError(
+            f"checkpoint is missing {len(missing)} tensors, e.g. {missing[:3]}"
+        )
+    for name, shape in expected.items():
+        got = tensors[name].shape
+        if got != shape:
+            raise CheckpointShapeError(
+                f"tensor {name}: checkpoint shape {got} != expected {shape}"
+            )
+
+
+ShardingFn = Callable[[str], Optional[jax.sharding.Sharding]]
+
+
+def build_params_from_checkpoint(
+    tensors: Dict[str, HostTensor],
+    cfg: ModelArgs,
+    sharding_fn: Optional[ShardingFn] = None,
+    dtype=jnp.bfloat16,
+) -> LlamaParams:
+    """Stack per-layer host views to [L, ...] and ship to device.
+
+    ``sharding_fn(weight_key)`` may return a Sharding per weight group (keys:
+    layer weight names plus 'tok_embeddings', 'norm', 'output', 'rope') so
+    tensor-parallel loads place shards directly without a full replica.
+    """
+    validate_checkpoint(tensors, cfg)
+    log = get_logger()
+
+    def put(key: str, host: np.ndarray) -> jnp.ndarray:
+        sharding = sharding_fn(key) if sharding_fn is not None else None
+        arr = jax.device_put(host, sharding) if sharding is not None else jnp.asarray(host)
+        return arr.astype(dtype) if arr.dtype != dtype and host.dtype.itemsize == 2 else arr
+
+    layers: Dict[str, jnp.ndarray] = {}
+    for key, tmpl in CKPT_LAYER_NAMES.items():
+        views = [tensors[tmpl.format(i=i)].array for i in range(cfg.n_layers)]
+        host = np.stack(views)  # one host copy of this weight group only
+        layers[key] = put(key, host)
+        del host
+        log.debug("loaded weight group %s %s", key, layers[key].shape)
+
+    cos, sin = precompute_rope_tables(
+        cfg.head_dim, 2 * cfg.max_sequence_length, cfg.rope_theta, cfg.use_scaled_rope
+    )
+    rope_sharding = sharding_fn("rope") if sharding_fn is not None else None
+    return LlamaParams(
+        tok_embeddings=put("tok_embeddings", tensors["tok_embeddings.weight"].array),
+        layers=layers,
+        norm=put("norm", tensors["norm.weight"].array),
+        output=put("output", tensors["output.weight"].array),
+        rope_cos=jax.device_put(cos, rope_sharding) if rope_sharding else jnp.asarray(cos),
+        rope_sin=jax.device_put(sin, rope_sharding) if rope_sharding else jnp.asarray(sin),
+    )
+
+
+@dataclass
+class LoadedModel:
+    """Everything the engine needs, analogous to the reference's Model struct
+    (reference: src/model/model.go:43-54)."""
+
+    params: LlamaParams
+    cfg: ModelArgs
+    vocab: Vocabulary
+    mergeable_ranks: Dict[bytes, int]
+    tensor_meta: Dict[str, Tuple[Tuple[int, ...], str]]  # name -> (shape, dtype)
+
+
+def load_llama_model(
+    model_dir: str,
+    max_sequence_length: Optional[int] = None,
+    sharding_fn: Optional[ShardingFn] = None,
+    include_tensors: bool = True,
+) -> LoadedModel:
+    """Load Meta-format model dir: consolidated.00.pth + params.json + tokenizer.model.
+
+    Mirrors LoadModelEx's orchestration incl. the vocab-size cross-check
+    (reference: src/model/loader.go:22-115).
+    """
+    log = get_logger()
+    tk_model = load_tiktoken_model(os.path.join(model_dir, "tokenizer.model"))
+    vocab = Vocabulary.from_tiktoken(tk_model)
+
+    cfg = load_model_args(os.path.join(model_dir, "params.json"), max_sequence_length)
+    if cfg.vocab_size in (-1, 0):
+        cfg = cfg.with_(vocab_size=vocab.size)
+    elif cfg.vocab_size != vocab.size:
+        raise CheckpointShapeError(
+            f"params.json vocab_size {cfg.vocab_size} != tokenizer vocab {vocab.size}"
+        )
+
+    params = None
+    tensor_meta: Dict[str, Tuple[Tuple[int, ...], str]] = {}
+    if include_tensors:
+        log.info("Loading checkpoint %s ...", model_dir)
+        tensors = load_torch_checkpoint(os.path.join(model_dir, "consolidated.00.pth"))
+        tensor_meta = {n: (t.shape, str(t.dtype)) for n, t in tensors.items()}
+        params = build_params_from_checkpoint(tensors, cfg, sharding_fn)
+        log.info("Loaded %d tensors.", len(tensors))
+    return LoadedModel(params=params, cfg=cfg, vocab=vocab,
+                       mergeable_ranks=tk_model.mergeable_ranks,
+                       tensor_meta=tensor_meta)

@@ -1,0 +1,163 @@
+"""Functional Llama transformer: pure forward pass over a params pytree.
+
+Capability parity with the reference's LlamaTransformer (reference:
+src/model/llamatransformer.go:16-660) rebuilt TPU-first:
+
+  * per-layer weights are STACKED along a leading layer axis and the block
+    loop is a ``lax.scan`` — one traced block, compiled once, instead of the
+    reference's 32 sequential Go object calls;
+  * the KV cache is an explicit pytree threaded through the scan (the
+    reference mutates InferenceContext state, src/model/inferencecontext.go);
+  * GQA never materializes repeat-KV (ops/attention.py);
+  * one additive mask covers prefill and decode: cache slot ``t`` is visible
+    to query row ``s`` iff ``t <= start_pos + s`` — this is both the causal
+    mask the reference builds for seqlen>1 (llamatransformer.go:115-143) and
+    the cache-length bound it gets by slicing the cache (…go:409-416);
+  * numerics: bf16 weights/activations, fp32 matmul accumulation, fp32
+    norm statistics and softmax, fp32 logits — same precision story as the
+    reference, with a max-subtracted (stable) softmax instead of its raw one.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import lax
+
+from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+from llama_nuts_and_bolts_tpu.models.llama.rope import apply_rope, precompute_rope_tables
+from llama_nuts_and_bolts_tpu.ops import gqa_attention, linear, rms_norm, swiglu
+
+
+@struct.dataclass
+class LlamaParams:
+    """Weights pytree. ``layers`` holds arrays stacked to ``[n_layers, ...]``;
+    ``rope_cos/rope_sin`` are the precomputed fp32 tables (device-resident)."""
+
+    tok_embeddings: jnp.ndarray        # [vocab, dim] bf16
+    layers: Dict[str, jnp.ndarray]     # each [L, ...] bf16
+    norm: jnp.ndarray                  # [dim] bf16
+    output: jnp.ndarray                # [vocab, dim] bf16
+    rope_cos: jnp.ndarray              # [2*max_seq, head_dim//2] fp32
+    rope_sin: jnp.ndarray              # [2*max_seq, head_dim//2] fp32
+
+
+@struct.dataclass
+class KVCache:
+    """Preallocated cache: k/v of shape [n_layers, batch, max_seq, kv_heads, head_dim]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @classmethod
+    def create(cls, cfg: ModelArgs, batch: int, max_seq: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.n_layers, batch, max_seq, cfg.kv_heads, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+
+def attention_mask(seq_len: int, cache_len: int, start_pos) -> jnp.ndarray:
+    """Additive fp32 mask [seq_len, cache_len]: 0 where visible, -inf where not."""
+    rows = lax.broadcasted_iota(jnp.int32, (seq_len, cache_len), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (seq_len, cache_len), 1)
+    visible = cols <= rows + start_pos
+    return jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)
+
+
+def forward(
+    params: LlamaParams,
+    cfg: ModelArgs,
+    tokens: jnp.ndarray,      # int32 [B, S]
+    start_pos,                # traced int32 scalar
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One forward pass (prefill when S>1, decode step when S==1).
+
+    Returns fp32 logits ``[B, S, vocab]`` and the updated cache.
+    """
+    B, S = tokens.shape
+    H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+    T = cache.max_seq
+
+    x = jnp.take(params.tok_embeddings, tokens, axis=0)          # [B,S,dim] bf16
+    cos = lax.dynamic_slice_in_dim(params.rope_cos, start_pos, S, 0)
+    sin = lax.dynamic_slice_in_dim(params.rope_sin, start_pos, S, 0)
+    mask = attention_mask(S, T, start_pos)[None, :, :]            # [1,S,T]
+
+    def block(x, scanned):
+        w, ck, cv = scanned                                       # ck/cv [B,T,KV,D]
+        h = rms_norm(x, w["attn_norm"], cfg.norm_eps)
+        q = linear(h, w["wq"]).reshape(B, S, H, D)
+        k = linear(h, w["wk"]).reshape(B, S, KV, D)
+        v = linear(h, w["wv"]).reshape(B, S, KV, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start_pos, 0, 0))
+        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start_pos, 0, 0))
+        att = gqa_attention(q, ck, cv, mask)
+        x = x + linear(att.reshape(B, S, H * D), w["wo"])
+        h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
+        x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
+        return x, (ck, cv)
+
+    x, (ck_new, cv_new) = lax.scan(block, x, (params.layers, cache.k, cache.v))
+    x = rms_norm(x, params.norm, cfg.norm_eps)
+    logits = linear(x, params.output, out_dtype=jnp.float32)      # [B,S,vocab]
+    return logits, KVCache(k=ck_new, v=cv_new)
+
+
+# --------------------------------------------------------------------------
+# weight layout spec shared by the loader and random init
+
+
+def layer_weight_shapes(cfg: ModelArgs) -> Dict[str, Tuple[int, ...]]:
+    d, f = cfg.dim, cfg.ffn_hidden_dim
+    return {
+        "attn_norm": (d,),
+        "ffn_norm": (d,),
+        "wq": (cfg.n_heads * cfg.head_dim, d),
+        "wk": (cfg.kv_heads * cfg.head_dim, d),
+        "wv": (cfg.kv_heads * cfg.head_dim, d),
+        "wo": (d, cfg.n_heads * cfg.head_dim),
+        "w_gate": (f, d),
+        "w_up": (f, d),
+        "w_down": (d, f),
+    }
+
+
+def init_random_params(cfg: ModelArgs, key: jax.Array,
+                       dtype=jnp.bfloat16) -> LlamaParams:
+    """Random-initialized params with the checkpoint's shapes (tests/bench)."""
+    keys = iter(jax.random.split(key, 16))
+    scale = 1.0 / math.sqrt(cfg.dim)
+
+    def rand(shape):
+        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(dtype)
+
+    L = cfg.n_layers
+    layers = {}
+    for name, shape in layer_weight_shapes(cfg).items():
+        if name.endswith("norm"):
+            layers[name] = jnp.ones((L,) + shape, dtype)
+        else:
+            layers[name] = rand((L,) + shape)
+    cos, sin = precompute_rope_tables(
+        cfg.head_dim, 2 * cfg.max_sequence_length, cfg.rope_theta, cfg.use_scaled_rope
+    )
+    return LlamaParams(
+        tok_embeddings=rand((cfg.vocab_size, cfg.dim)),
+        layers=layers,
+        norm=jnp.ones((cfg.dim,), dtype),
+        output=rand((cfg.vocab_size, cfg.dim)),
+        rope_cos=jnp.asarray(cos),
+        rope_sin=jnp.asarray(sin),
+    )

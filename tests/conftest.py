@@ -7,7 +7,9 @@ __graft_entry__.py, which the driver runs on hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force (not setdefault): the driver environment pre-sets JAX_PLATFORMS=axon
+# (the real-TPU tunnel), which makes every eager op a network round-trip
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +20,12 @@ import pathlib
 import sys
 
 import pytest
+
+import jax
+
+# compiles dominate test time on the 2-core CPU host; persist them across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/lnb_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
