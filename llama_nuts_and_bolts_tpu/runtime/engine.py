@@ -1,0 +1,193 @@
+"""Inference engine: jitted prefill/decode loops + streaming generators.
+
+Capability parity with the reference's InferenceEngine (reference:
+src/inference/inference.go:42-254) rebuilt for TPU:
+
+  * the autoregressive loop (generateTokensInternal, :173-254) becomes a host
+    loop around ONE jitted decode step — same compiled executable every
+    iteration, cache donated in place;
+  * variable-length prompts are padded to power-of-two buckets so prefill
+    compiles once per bucket, not once per prompt length (the reference
+    re-runs its interpreter per shape; XLA must not re-trace per shape);
+  * Go channels/goroutines become Python generators — the consumer pulls
+    GeneratedParts one at a time exactly like the channel reader;
+  * stop-token and sequence-length termination states are identical
+    (GSFinishedByReachingEOS / GSFinishedByReachingSeqLen, :13-17).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_nuts_and_bolts_tpu.models.llama.loader import LoadedModel
+from llama_nuts_and_bolts_tpu.models.llama.model import KVCache, forward
+from llama_nuts_and_bolts_tpu.ops.sampling import sample_token
+from llama_nuts_and_bolts_tpu.runtime.detokenizer import (
+    token_batch_to_string,
+    token_to_string,
+)
+from llama_nuts_and_bolts_tpu.runtime.types import (
+    DecodingContext,
+    GeneratedPart,
+    GenerationState,
+    InferenceArgs,
+    TokenPiece,
+)
+from llama_nuts_and_bolts_tpu.tokenizer import PromptPart, encode_ordinary, render_chat_tokens
+from llama_nuts_and_bolts_tpu.utils.logging import get_logger
+
+MIN_PREFILL_BUCKET = 16
+
+
+def prefill_bucket(prompt_len: int, cap: int) -> int:
+    b = MIN_PREFILL_BUCKET
+    while b < prompt_len:
+        b *= 2
+    return min(b, cap)
+
+
+class InferenceEngine:
+    def __init__(self, model: LoadedModel, args: Optional[InferenceArgs] = None,
+                 log_fn=None) -> None:
+        self.model = model
+        self.args = args or InferenceArgs()
+        self.seq_len = self.args.sequence_length or model.cfg.max_sequence_length
+        self.log = log_fn or (lambda fmt, *a: get_logger().debug(fmt, *a))
+        # one executable per (batch, seqlen-bucket); decode step is S=1
+        self._fwd = jax.jit(forward, static_argnums=(1,), donate_argnums=(4,))
+        self._rng = jax.random.PRNGKey(self.args.seed)
+
+    # ------------------------------------------------------------ tokenize
+
+    def tokenize(self, prompt_parts: Sequence[PromptPart]) -> List[int]:
+        ids = render_chat_tokens(prompt_parts, self.model.vocab, self.model.mergeable_ranks)
+        self.log("Prompt token ids: %s", ids)
+        return ids
+
+    def tokenize_batch(self, prompts) -> List[List[int]]:
+        return [self.tokenize(p) for p in prompts]
+
+    def tokenize_string(self, text: str) -> List[int]:
+        return encode_ordinary(text, self.model.mergeable_ranks)
+
+    def token_to_string(self, token_id: int, ctx: DecodingContext):
+        return token_to_string(self.model.vocab, token_id, ctx)
+
+    def token_batch_to_string(self, token_ids) -> Tuple[list, str]:
+        return token_batch_to_string(self.model.vocab, token_ids)
+
+    def token_batch_to_debug_string(self, token_ids) -> str:
+        return self.model.vocab.debug_string(token_ids)
+
+    # ------------------------------------------------------------- decode
+
+    def _select_token(self, logits_row: jnp.ndarray) -> int:
+        if self.args.temperature > 0.0:
+            self._rng, key = jax.random.split(self._rng)
+            tok = sample_token(logits_row, key, self.args.temperature,
+                               self.args.top_k, self.args.top_p)
+        else:
+            tok = jnp.argmax(logits_row, axis=-1)
+        return int(tok)
+
+    def generate_tokens(
+        self, prompt_tokens: Sequence[int]
+    ) -> Iterator[Tuple[GenerationState, int]]:
+        """Greedy/sampled autoregressive generation, one token per yield."""
+        cfg = self.model.cfg
+        prompt_len = len(prompt_tokens)
+        if prompt_len >= self.seq_len:
+            raise ValueError(
+                f"context sequence length {self.seq_len} must be higher than "
+                f"prompt tokens length {prompt_len}"
+            )
+        vocab = self.model.vocab
+        cache = KVCache.create(cfg, 1, self.seq_len)
+
+        bucket = prefill_bucket(prompt_len, self.seq_len)
+        padded = np.zeros((1, bucket), dtype=np.int32)
+        padded[0, :prompt_len] = prompt_tokens
+        self.log("Running prefill: prompt_len=%d bucket=%d", prompt_len, bucket)
+        logits, cache = self._fwd(self.model.params, cfg, jnp.asarray(padded), 0, cache)
+        next_token = self._select_token(logits[0, prompt_len - 1])
+
+        cur_pos = prompt_len
+        while True:
+            if vocab.is_stop(next_token):
+                yield GenerationState.FINISHED_BY_REACHING_EOS, next_token
+                return
+            if cur_pos + 1 >= self.seq_len:
+                yield GenerationState.FINISHED_BY_REACHING_SEQ_LEN, next_token
+                return
+            yield GenerationState.IN_PROGRESS, next_token
+            step = jnp.asarray([[next_token]], dtype=jnp.int32)
+            logits, cache = self._fwd(self.model.params, cfg, step, cur_pos, cache)
+            next_token = self._select_token(logits[0, -1])
+            cur_pos += 1
+
+    # ---------------------------------------------------------- streaming
+
+    def generate_string(self, prompt_tokens: Sequence[int]) -> Iterator[GeneratedPart]:
+        return self._generate_string(self.generate_tokens(prompt_tokens))
+
+    def generate_string_from_output_tokens(
+        self, output_tokens: Sequence[int]
+    ) -> Iterator[GeneratedPart]:
+        """Replay a scripted token stream through the decoder (the reference's
+        test hook, src/inference/inference.go:62-71)."""
+
+        def scripted():
+            for tok in output_tokens:
+                yield GenerationState.IN_PROGRESS, tok
+
+        return self._generate_string(scripted())
+
+    def _generate_string(self, token_iter) -> Iterator[GeneratedPart]:
+        ctx = DecodingContext()
+        last_state = GenerationState.IN_PROGRESS
+
+        for state, token_id in token_iter:
+            token, token_str, added_to_waiting = self.token_to_string(token_id, ctx)
+            self.log('Generated token string: "%s", addedToWaiting: %s',
+                     token_str, added_to_waiting)
+            part = GeneratedPart(
+                token_id=token_id,
+                token=token,
+                decoded_string=token_str,
+                added_to_waiting=added_to_waiting,
+                waiting_runes_extra_str=ctx.waiting_runes_extra_str,
+                generation_state=GenerationState.IN_PROGRESS,
+            )
+            if state != GenerationState.IN_PROGRESS and not ctx.waiting_parts:
+                part.generation_state = state
+            last_state = state
+            if added_to_waiting:
+                ctx.waiting_parts.append(part)
+            else:
+                ctx.waiting_parts.clear()
+            yield part
+
+        # flush still-waiting byte-fallback parts as literal <0xNN> text
+        # (reference: src/inference/inference.go:134-156)
+        ctx.decoding_finished = True
+        if ctx.waiting_parts:
+            for i, waiting in enumerate(ctx.waiting_parts):
+                decoded = waiting.token.byte_fallback_string()
+                if ctx.waiting_runes_extra_str:
+                    decoded = ctx.waiting_runes_extra_str + decoded
+                    ctx.waiting_runes = ""
+                    ctx.waiting_runes_extra_str = ""
+                yield GeneratedPart(
+                    token_id=waiting.token_id,
+                    token=waiting.token,
+                    decoded_string=decoded,
+                    added_to_waiting=False,
+                    waiting_runes_extra_str="",
+                    is_resend_of_waiting=True,
+                    generation_state=(last_state if i + 1 == len(ctx.waiting_parts)
+                                      else GenerationState.IN_PROGRESS),
+                )

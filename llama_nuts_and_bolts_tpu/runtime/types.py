@@ -1,0 +1,74 @@
+"""Streaming generation datatypes.
+
+Capability parity with the reference's generation types (reference:
+src/inference/inference.go:11-46, src/model/model.go:78-107,
+src/common/inferenceargs.go:3-11).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+class GenerationState(enum.Enum):
+    IN_PROGRESS = 1
+    FINISHED_BY_REACHING_EOS = 2
+    FINISHED_BY_REACHING_SEQ_LEN = 3
+
+
+@dataclass
+class TokenPiece:
+    piece: bytes
+    rank: int
+    is_byte: bool = False
+    byte_fallback: Optional[bytes] = None
+
+    def byte_fallback_string(self) -> str:
+        """``<0xNN>`` rendering of byte-fallback tokens (reference:
+        src/model/model.go:98-107)."""
+        if self.byte_fallback is None:
+            return ""
+        return "".join(f"<0x{b:02X}>" for b in self.byte_fallback)
+
+    def __str__(self) -> str:
+        if self.is_byte:
+            return f'"{self.byte_fallback_string()}" rank: {self.rank}, type: BYTE'
+        return f'"{self.piece.decode("utf-8", errors="replace")}" rank: {self.rank}, type: NORMAL'
+
+
+@dataclass
+class GeneratedPart:
+    token_id: int
+    token: TokenPiece
+    decoded_string: str
+    added_to_waiting: bool
+    waiting_runes_extra_str: str
+    generation_state: GenerationState
+    is_resend_of_waiting: bool = False
+
+
+@dataclass
+class InferenceArgs:
+    """0 ⇒ use the model's max_sequence_length, like the reference."""
+
+    sequence_length: int = 0
+    batch_size: int = 1
+    # idiomatic extensions beyond the greedy-only reference:
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: int = 0
+
+
+@dataclass
+class DecodingContext:
+    """Waiting-bytes / waiting-runes state machine carried across tokens
+    (reference: src/inference/inference.go:33-39)."""
+
+    waiting_bytes: bytearray = field(default_factory=bytearray)
+    waiting_parts: List[GeneratedPart] = field(default_factory=list)
+    waiting_runes: str = ""
+    waiting_runes_extra_str: str = ""
+    decoding_finished: bool = False

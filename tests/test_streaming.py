@@ -1,0 +1,240 @@
+"""Streaming detokenizer/emoji tests with scripted token replays — the same
+scenarios the reference drives through its fake console (reference:
+cmd/main_test.go:148-323): flag emoji built from byte fragments, emoji+text,
+multiple emojis, ZWJ composites — plus engine-level generation on a tiny model.
+
+Aliases differ from the reference's gemoji table (ours derive from Unicode
+names, e.g. ``:flag_tr:`` vs ``:flag_for_turkey:``); the waiting-bytes
+machine, annotation format, and per-rune name fallback are behaviorally
+identical.
+"""
+
+import base64
+
+import numpy as np
+import pytest
+
+import jax
+
+from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+from llama_nuts_and_bolts_tpu.models.llama import init_random_params
+from llama_nuts_and_bolts_tpu.models.llama.loader import LoadedModel
+from llama_nuts_and_bolts_tpu.runtime import (
+    GeneratedPart,
+    GenerationState,
+    InferenceArgs,
+    InferenceEngine,
+)
+from llama_nuts_and_bolts_tpu.runtime.emoji import (
+    emoji_alias,
+    is_emoji_sequence,
+    segment_emoji,
+)
+from llama_nuts_and_bolts_tpu.tokenizer import TiktokenModel, Vocabulary
+from llama_nuts_and_bolts_tpu.tokenizer.tiktoken_io import build_special_tokens
+
+
+def hex_to_bytes(s: str) -> bytes:
+    """Expand ``<0xNN>`` escapes like the reference's test helper
+    (reference: src/common/utils.go:79-107)."""
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        if s[i] == "<" and i + 5 < len(s) and s[i + 1 : i + 3] == "0x" and s[i + 5] == ">":
+            out.append(int(s[i + 3 : i + 5], 16))
+            i += 6
+        else:
+            out.extend(s[i].encode("utf-8"))
+            i += 1
+    return bytes(out)
+
+
+def make_vocab_and_ranks():
+    ranks = {bytes([i]): i for i in range(256)}
+    for i, tok in enumerate([b" I", b"hello", b" world", b"Hi"]):
+        ranks[tok] = 256 + i
+    special = build_special_tokens(len(ranks))
+    model = TiktokenModel(
+        mergeable_ranks=ranks, special_tokens=special,
+        bos_id=special["<|begin_of_text|>"], eos_id=special["<|end_of_text|>"],
+        stop_token_ids=[special["<|eom_id|>"], special["<|eot_id|>"]],
+    )
+    return Vocabulary.from_tiktoken(model), ranks
+
+
+VOCAB, RANKS = make_vocab_and_ranks()
+
+TINY = ModelArgs(
+    dim=32, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=VOCAB.size,
+    multiple_of=16, norm_eps=1e-5, max_sequence_length=64,
+)
+
+
+def make_engine(**args):
+    params = jax.jit(init_random_params, static_argnums=(0,))(TINY, jax.random.PRNGKey(0))
+    model = LoadedModel(params=params, cfg=TINY, vocab=VOCAB,
+                        mergeable_ranks=RANKS, tensor_meta={})
+    return InferenceEngine(model, InferenceArgs(**args))
+
+
+def byte_token_ids(byte_str: str):
+    return [b for b in hex_to_bytes(byte_str)]  # single-byte tokens are ids 0..255
+
+
+def replay(engine, ids):
+    return list(engine.generate_string_from_output_tokens(ids))
+
+
+ENGINE = make_engine(sequence_length=24)
+
+
+# -------------------------------------------------------- emoji primitives
+
+
+def test_is_emoji_sequence():
+    assert is_emoji_sequence("\U0001F1F9\U0001F1F7")      # flag pair
+    assert is_emoji_sequence("\U0001F440")                # eyes
+    assert not is_emoji_sequence("\U0001F1F9")            # lone regional
+    assert not is_emoji_sequence("\U0001F570")            # mantelpiece clock: no emoji presentation
+    assert is_emoji_sequence("\U0001F9B8\u200d\u2642\ufe0f")  # man superhero ZWJ
+    assert not is_emoji_sequence("A")
+    assert not is_emoji_sequence("")
+
+
+def test_emoji_alias():
+    assert emoji_alias("\U0001F1F9\U0001F1F7") == ":flag_tr:"
+    assert emoji_alias("\U0001F440") == ":eyes:"
+    assert emoji_alias("\U0001F570") is None
+    assert emoji_alias("x") is None
+
+
+def test_segment_emoji():
+    assert segment_emoji("\U0001F1F9\U0001F1F7") == ["\U0001F1F9\U0001F1F7"]
+    assert segment_emoji("\U0001F6EC\U0001F570") == ["\U0001F6EC", "\U0001F570"]
+    fam = "\U0001F468\u200d\U0001F469\u200d\U0001F467"
+    assert segment_emoji(fam + "\U0001F440") == [fam, "\U0001F440"]
+
+
+# ------------------------------------------------------ scripted streaming
+
+
+def test_turkey_flag_stream():
+    """Byte-by-byte flag assembly (reference: TestSimulatedEmojiOutputTurkeyFlag)."""
+    ids = byte_token_ids("<0xF0><0x9F><0x87><0xB9>") + byte_token_ids("<0xF0><0x9F><0x87><0xB7>")
+    parts = replay(ENGINE, ids)
+    assert [p.added_to_waiting for p in parts] == [True, True, True, False] * 2
+    # waiting-bytes display states while assembling the first rune
+    assert parts[0].token.byte_fallback_string() == "<0xF0>"
+    # 4th token completes 🇹: emitted, annotated with the per-rune name fallback
+    assert parts[3].decoded_string == "\U0001F1F9"
+    assert parts[3].waiting_runes_extra_str == \
+        "[:REGIONAL INDICATOR SYMBOL LETTER T:\\U0001F1F9]"
+    # 8th token completes 🇷: the pair is recognized as one flag emoji
+    assert parts[7].decoded_string == "\U0001F1F7"
+    assert parts[7].waiting_runes_extra_str == \
+        "[:flag_tr:\\U0001F1F9\\U0001F1F7]"
+
+
+def test_emoji_then_text_stream():
+    """Eyes emoji then a normal text token flushes the pending annotation
+    (reference: TestSimulatedEmojiOutputEmojiWithText)."""
+    ids = byte_token_ids("<0xF0><0x9F><0x91><0x80>") + [RANKS[b" I"]]
+    parts = replay(ENGINE, ids)
+    assert parts[3].decoded_string == "\U0001F440"
+    assert parts[3].waiting_runes_extra_str == "[:eyes:\\U0001F440]"
+    # the text token emits the pending annotation followed by its piece
+    assert parts[4].decoded_string == "[:eyes:\\U0001F440] I"
+    assert parts[4].waiting_runes_extra_str == ""
+
+
+def test_multiple_emojis_stream():
+    """Sequential distinct emojis each annotated; non-presentation rune falls
+    back to its name (reference: TestSimulatedEmojiOutputMultipleEmojis)."""
+    ids = (byte_token_ids("<0xF0><0x9F><0x9B><0xAC>")     # 🛬 airplane arriving
+           + byte_token_ids("<0xF0><0x9F><0x95><0xB0>"))  # 🕰 mantelpiece clock
+    parts = replay(ENGINE, ids)
+    assert parts[3].waiting_runes_extra_str == "[:airplane_arriving:\\U0001F6EC]"
+    assert parts[7].waiting_runes_extra_str == (
+        "[:airplane_arriving:\\U0001F6EC]"
+        "[:MANTELPIECE CLOCK:\\U0001F570]"
+    )
+
+
+def test_zwj_composite_stream():
+    """Man-superhero ZWJ sequence composes into one annotated emoji
+    (reference: TestSimulatedEmojiOutputMultipleCompositeEmojis)."""
+    ids = (byte_token_ids("<0xF0><0x9F><0xA6><0xB8>")   # 🦸
+           + byte_token_ids("<0xE2><0x80><0x8D>")       # ZWJ
+           + byte_token_ids("<0xEF><0xB8><0x8F>"))      # nothing yet: VS16 alone
+    # feed 🦸 + ZWJ + ♂ + VS16
+    ids = (byte_token_ids("<0xF0><0x9F><0xA6><0xB8>")
+           + byte_token_ids("<0xE2><0x80><0x8D>")
+           + byte_token_ids("<0xE2><0x99><0x82>")
+           + byte_token_ids("<0xEF><0xB8><0x8F>"))
+    parts = replay(ENGINE, ids)
+    final = parts[-1]
+    assert final.waiting_runes_extra_str == \
+        "[:superhero_male_sign:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F]"
+
+
+def test_incomplete_bytes_flushed_at_end():
+    """Generation ending mid-codepoint resends waiting parts as <0xNN> text
+    (reference: src/inference/inference.go:134-156)."""
+    ids = byte_token_ids("<0xF0><0x9F>")
+    parts = replay(ENGINE, ids)
+    assert len(parts) == 4  # 2 waiting + 2 resends
+    assert parts[0].added_to_waiting and parts[1].added_to_waiting
+    assert parts[2].is_resend_of_waiting and parts[2].decoded_string == "<0xF0>"
+    assert parts[3].is_resend_of_waiting and parts[3].decoded_string == "<0x9F>"
+
+
+def test_plain_text_stream():
+    ids = [RANKS[b"hello"], RANKS[b" world"]]
+    parts = replay(ENGINE, ids)
+    assert "".join(p.decoded_string for p in parts) == "hello world"
+    assert not any(p.added_to_waiting for p in parts)
+
+
+# ------------------------------------------------------- engine generation
+
+
+def test_generate_tokens_terminates_and_is_deterministic():
+    prompt = [1, 5, 9]
+    out1 = list(ENGINE.generate_tokens(prompt))
+    out2 = list(ENGINE.generate_tokens(prompt))
+    assert out1 == out2
+    assert len(out1) <= ENGINE.seq_len - len(prompt)
+    states = [s for s, _ in out1]
+    assert all(s == GenerationState.IN_PROGRESS for s in states[:-1])
+    assert states[-1] in (GenerationState.FINISHED_BY_REACHING_EOS,
+                          GenerationState.FINISHED_BY_REACHING_SEQ_LEN)
+
+
+def test_generate_rejects_long_prompt():
+    with pytest.raises(ValueError):
+        list(ENGINE.generate_tokens(list(range(30))))
+
+
+def test_prefill_bucketing_shares_executables():
+    from llama_nuts_and_bolts_tpu.runtime.engine import prefill_bucket
+
+    assert prefill_bucket(3, 200) == 16
+    assert prefill_bucket(16, 200) == 16
+    assert prefill_bucket(17, 200) == 32
+    assert prefill_bucket(300, 200) == 200
+
+
+def test_generate_string_end_to_end():
+    prompt = [1, 5, 9]
+    parts = list(ENGINE.generate_string(prompt))
+    assert parts, "no parts generated"
+    assert parts[-1].generation_state in (
+        GenerationState.FINISHED_BY_REACHING_EOS,
+        GenerationState.FINISHED_BY_REACHING_SEQ_LEN,
+    )
+
+
+def test_sampling_mode_runs():
+    engine = make_engine(sequence_length=16, temperature=0.8, top_k=8, top_p=0.9)
+    out = list(engine.generate_tokens([1, 2]))
+    assert out and all(0 <= t < VOCAB.size for _, t in out)
