@@ -1,0 +1,136 @@
+"""Decode-throughput benchmark on the attached TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
+is measured greedy-decode tokens/sec/chip on the Llama-3.1 architecture (bf16,
+batch 1, on-device lax.scan decode loop) and vs_baseline is the fraction of
+the HBM-bandwidth roofline achieved (the reference publishes no speed numbers
+— BASELINE.md's success bar is roofline-bound tokens/sec/chip).
+
+The 8B checkpoint (16.06 GB bf16) does not fit a single v5e chip's HBM, so
+layer depth is auto-scaled to the largest that fits; the metric name carries
+the layer count. All other dims are the real 8B architecture, so per-layer
+step cost and roofline fraction transfer directly.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+sys.path.insert(0, ".")
+
+from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+from llama_nuts_and_bolts_tpu.models.llama import forward, init_random_params
+from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
+
+V5E_HBM_BYTES_PER_S = 819e9  # public v5e HBM bandwidth
+SEQ_CAP = 200                # the reference CLI's sequence length
+PREFILL_LEN = 16
+DECODE_STEPS = 128
+
+
+def param_bytes(cfg: ModelArgs) -> int:
+    d, f, v = cfg.dim, cfg.ffn_hidden_dim, cfg.vocab_size
+    per_layer = (2 * d                       # norms
+                 + d * d + 2 * cfg.kv_heads * cfg.head_dim * d + d * d  # attn
+                 + 3 * f * d)                # ffn
+    return 2 * (2 * v * d + d + cfg.n_layers * per_layer)
+
+
+def pick_layer_count(budget_bytes: int) -> int:
+    for n_layers in range(32, 0, -1):
+        cfg = ModelArgs(n_kv_heads=8, vocab_size=128256, multiple_of=1024,
+                        ffn_dim_multiplier=1.3, n_layers=n_layers)
+        if param_bytes(cfg) < budget_bytes:
+            return n_layers
+    return 1
+
+
+def device_budget() -> int:
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return int(stats["bytes_limit"] * 0.80)
+    except Exception:
+        return int(16 * (1024 ** 3) * 0.75)
+
+
+def sync(x) -> None:
+    """Force completion: block_until_ready is a no-op on the axon tunnel
+    backend, so fetch one element to the host instead."""
+    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+
+
+def main() -> None:
+    n_layers = pick_layer_count(device_budget())
+    cfg = ModelArgs(
+        dim=4096, n_layers=n_layers, n_heads=32, n_kv_heads=8,
+        vocab_size=128256, multiple_of=1024, ffn_dim_multiplier=1.3,
+        norm_eps=1e-5, rope_theta=500000.0, use_scaled_rope=True,
+        max_sequence_length=2048,
+    )
+    params = jax.jit(init_random_params, static_argnums=(0,))(cfg, jax.random.PRNGKey(0))
+    sync(params)
+
+    fwd = jax.jit(forward, static_argnums=(1,), donate_argnums=(4,))
+
+    def decode_n(params, cache, tok, start_pos):
+        def body(carry, _):
+            tok, pos, cache = carry
+            logits, cache = forward(params, cfg, tok, pos, cache)
+            nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            return (nxt, pos + 1, cache), nxt[:, 0]
+
+        (tok, pos, cache), toks = lax.scan(
+            body, (tok, start_pos, cache), None, length=DECODE_STEPS)
+        return toks, cache
+
+    decode_jit = jax.jit(decode_n, donate_argnums=(1,))
+
+    prompt = jnp.ones((1, PREFILL_LEN), dtype=jnp.int32)
+    cache = KVCache.create(cfg, 1, SEQ_CAP)
+
+    # warm-up: compile prefill + decode loop
+    t0 = time.perf_counter()
+    logits, cache = fwd(params, cfg, prompt, 0, cache)
+    tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+    sync(tok)
+    ttft_cold = time.perf_counter() - t0
+    toks, cache = decode_jit(params, cache, tok, PREFILL_LEN)
+    sync(toks)
+
+    # measured run: fresh cache, timed prefill (warm) + timed decode scan
+    cache = KVCache.create(cfg, 1, SEQ_CAP)
+    t0 = time.perf_counter()
+    logits, cache = fwd(params, cfg, prompt, 0, cache)
+    tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+    sync(tok)
+    ttft = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    toks, cache = decode_jit(params, cache, tok, PREFILL_LEN)
+    sync(toks)
+    decode_time = time.perf_counter() - t0
+
+    toks_per_s = DECODE_STEPS / decode_time
+    roofline = V5E_HBM_BYTES_PER_S / param_bytes(cfg)
+    print(json.dumps({
+        "metric": f"decode_tokens_per_sec_per_chip_llama31-{n_layers}L_bf16_b1",
+        "value": round(toks_per_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(toks_per_s / roofline, 4),
+        "detail": {
+            "p50_ttft_warm_s": round(ttft, 4),
+            "ttft_cold_s": round(ttft_cold, 2),
+            "param_bytes": param_bytes(cfg),
+            "roofline_tokens_per_s": round(roofline, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Megatron-style tensor-parallel shardings for the Llama weight pytree.
+
+The classic TP recipe (SURVEY.md §2.3): column-partition the input
+projections (wq/wk/wv by heads, gate/up by FFN hidden), row-partition the
+output projections (wo, down) so each transformer block needs exactly ONE
+all-reduce after attention and one after the FFN — both emitted automatically
+by XLA from these NamedShardings, riding ICI. The KV cache shards along its
+kv-head axis so cache update and attention stay local to each chip.
+
+Weight layouts are checkpoint layouts ``[out, in]`` stacked to ``[L, out, in]``
+(models/llama/model.py), hence:
+
+  wq/wk/wv  [L, heads*hd, D]  → P(None, "tp", None)   (column / by heads)
+  wo        [L, D, heads*hd]  → P(None, None, "tp")   (row → psum)
+  gate/up   [L, F, D]         → P(None, "tp", None)
+  down      [L, D, F]         → P(None, None, "tp")   (row → psum)
+  output    [V, D]            → P("tp", None)         (vocab-sharded logits)
+  tok_emb   [V, D]            → replicated (1 GB bf16; gather stays local)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from llama_nuts_and_bolts_tpu.models.llama.model import KVCache, LlamaParams
+
+LAYER_SPECS = {
+    "attn_norm": P(None, None),
+    "ffn_norm": P(None, None),
+    "wq": P(None, "tp", None),
+    "wk": P(None, "tp", None),
+    "wv": P(None, "tp", None),
+    "wo": P(None, None, "tp"),
+    "w_gate": P(None, "tp", None),
+    "w_up": P(None, "tp", None),
+    "w_down": P(None, None, "tp"),
+}
+
+TOP_SPECS = {
+    "tok_embeddings": P(None, None),
+    "norm": P(None),
+    "output": P("tp", None),
+    "rope": P(None, None),
+}
+
+
+def param_sharding_fn(mesh: Mesh):
+    """``sharding_fn(weight_key)`` for the loader's direct sharded device_put."""
+
+    def fn(key: str) -> Optional[NamedSharding]:
+        spec = LAYER_SPECS.get(key) or TOP_SPECS.get(key)
+        if spec is None:
+            return None
+        return NamedSharding(mesh, spec)
+
+    return fn
+
+
+def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
+    """Reshard an already-materialized params pytree onto the mesh."""
+    fn = param_sharding_fn(mesh)
+    layers = {k: jax.device_put(v, fn(k)) for k, v in params.layers.items()}
+    return LlamaParams(
+        tok_embeddings=jax.device_put(params.tok_embeddings, fn("tok_embeddings")),
+        layers=layers,
+        norm=jax.device_put(params.norm, fn("norm")),
+        output=jax.device_put(params.output, fn("output")),
+        rope_cos=jax.device_put(params.rope_cos, fn("rope")),
+        rope_sin=jax.device_put(params.rope_sin, fn("rope")),
+    )
+
+
+def cache_sharding(mesh: Mesh) -> NamedSharding:
+    # [L, B, T, KV, hd]: batch on dp, kv heads on tp
+    return NamedSharding(mesh, P(None, "dp", None, "tp", None))
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    s = cache_sharding(mesh)
+    return KVCache(k=jax.device_put(cache.k, s), v=jax.device_put(cache.v, s))
+
+
+def token_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("dp", None))

@@ -23,6 +23,11 @@ import pytest
 
 import jax
 
+# the axon sitecustomize (PYTHONPATH=/root/.axon_site) imports jax at
+# interpreter startup with JAX_PLATFORMS=axon already read, so the env var
+# alone doesn't stick — override the config explicitly
+jax.config.update("jax_platforms", "cpu")
+
 # compiles dominate test time on the 2-core CPU host; persist them across runs
 jax.config.update("jax_compilation_cache_dir", "/tmp/lnb_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,122 @@
+"""Tensor/data-parallel tests on the virtual 8-device CPU mesh: sharded
+execution must reproduce the single-device results (the BASELINE config-5
+criterion: sharded run matches the 1-chip run's tokens)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+from llama_nuts_and_bolts_tpu.models.llama import forward, init_random_params
+from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
+from llama_nuts_and_bolts_tpu.parallel import (
+    cache_sharding,
+    make_mesh,
+    param_sharding_fn,
+    shard_cache,
+    shard_params,
+    token_sharding,
+)
+
+CFG = ModelArgs(
+    dim=64, n_layers=2, n_heads=8, n_kv_heads=4, vocab_size=128,
+    multiple_of=32, norm_eps=1e-5, max_sequence_length=64,
+)
+
+FWD = jax.jit(forward, static_argnums=(1,))
+
+
+@pytest.fixture(scope="module")
+def params():
+    return jax.jit(init_random_params, static_argnums=(0,))(CFG, jax.random.PRNGKey(3))
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.shape == {"dp": 1, "tp": 8}
+    mesh2 = make_mesh(tp=4, dp=2)
+    assert mesh2.shape == {"dp": 2, "tp": 4}
+    with pytest.raises(ValueError):
+        make_mesh(tp=3, dp=2)
+
+
+def test_param_sharding_fn_specs():
+    mesh = make_mesh(tp=4, dp=2)
+    fn = param_sharding_fn(mesh)
+    assert fn("wq").spec == P(None, "tp", None)
+    assert fn("w_down").spec == P(None, None, "tp")
+    assert fn("output").spec == P("tp", None)
+    assert fn("nonexistent") is None
+
+
+def test_tp_forward_matches_single_device(params):
+    tokens = jnp.asarray([[3, 14, 15, 92]], dtype=jnp.int32)
+    ref_logits, ref_cache = FWD(params, CFG, tokens, 0, KVCache.create(CFG, 1, 32))
+
+    mesh = make_mesh(tp=4, dp=1)
+    sp = shard_params(params, mesh)
+    sc = shard_cache(KVCache.create(CFG, 1, 32), mesh)
+    st = jax.device_put(tokens, token_sharding(mesh))
+    got_logits, got_cache = FWD(sp, CFG, st, 0, sc)
+
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(
+        np.asarray(got_logits).argmax(-1), np.asarray(ref_logits).argmax(-1))
+
+
+def test_tp_decode_steps_match(params):
+    prompt = jnp.asarray([[5, 9]], dtype=jnp.int32)
+    mesh = make_mesh(tp=4, dp=1)
+    sp = shard_params(params, mesh)
+
+    ref_cache = KVCache.create(CFG, 1, 16)
+    ref_logits, ref_cache = FWD(params, CFG, prompt, 0, ref_cache)
+    tp_cache = shard_cache(KVCache.create(CFG, 1, 16), mesh)
+    tp_logits, tp_cache = FWD(sp, CFG, prompt, 0, tp_cache)
+
+    pos = 2
+    for _ in range(5):
+        tok = int(np.asarray(ref_logits)[0, -1].argmax())
+        tok_tp = int(np.asarray(tp_logits)[0, -1].argmax())
+        assert tok == tok_tp, f"token divergence at position {pos}"
+        step = jnp.asarray([[tok]], dtype=jnp.int32)
+        ref_logits, ref_cache = FWD(params, CFG, step, pos, ref_cache)
+        tp_logits, tp_cache = FWD(sp, CFG, step, pos, tp_cache)
+        pos += 1
+
+
+def test_dp_tp_batched(params):
+    """2-way data parallel × 4-way tensor parallel, batch 2."""
+    mesh = make_mesh(tp=4, dp=2)
+    sp = shard_params(params, mesh)
+    tokens = jnp.asarray([[3, 14, 15, 92], [9, 2, 6, 53]], dtype=jnp.int32)
+    st = jax.device_put(tokens, token_sharding(mesh))
+    sc = shard_cache(KVCache.create(CFG, 2, 32), mesh)
+    got, _ = FWD(sp, CFG, st, 0, sc)
+
+    ref, _ = FWD(params, CFG, tokens, 0, KVCache.create(CFG, 2, 32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_sharded_loader_path(params):
+    """The loader's sharding_fn hook places weight groups directly."""
+    import torch
+
+    from llama_nuts_and_bolts_tpu.models.llama import build_params_from_checkpoint
+    from tests.test_model import make_torch_weights, to_host_tensors
+
+    mesh = make_mesh(tp=4, dp=1)
+    weights = make_torch_weights(CFG, seed=7)
+    sharded = build_params_from_checkpoint(
+        to_host_tensors(weights), CFG, sharding_fn=param_sharding_fn(mesh))
+    ws = sharded.layers["wq"].sharding
+    assert isinstance(ws, NamedSharding) and ws.spec == P(None, "tp", None)
+    tokens = jnp.asarray([[1, 2, 3]], dtype=jnp.int32)
+    logits, _ = FWD(sharded, CFG, tokens, 0,
+                    shard_cache(KVCache.create(CFG, 1, 16), mesh))
+    assert np.isfinite(np.asarray(logits)).all()
