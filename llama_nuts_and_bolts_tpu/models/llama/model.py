@@ -49,7 +49,12 @@ class LlamaParams:
 
 @struct.dataclass
 class KVCache:
-    """Preallocated cache: k/v of shape [n_layers, batch, max_seq, kv_heads, head_dim]."""
+    """Preallocated cache: k/v of shape [n_layers, batch, kv_heads, max_seq, head_dim].
+
+    kv-heads-major layout: per-head key/value rows are contiguous, which is
+    what both the XLA attention einsum and the Pallas flash kernel's
+    (batch, kv_head) grid programs want to stream.
+    """
 
     k: jnp.ndarray
     v: jnp.ndarray
@@ -57,12 +62,12 @@ class KVCache:
     @classmethod
     def create(cls, cfg: ModelArgs, batch: int, max_seq: int,
                dtype=jnp.bfloat16) -> "KVCache":
-        shape = (cfg.n_layers, batch, max_seq, cfg.kv_heads, cfg.head_dim)
+        shape = (cfg.n_layers, batch, cfg.kv_heads, max_seq, cfg.head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def attention_mask(seq_len: int, cache_len: int, start_pos) -> jnp.ndarray:
@@ -79,6 +84,7 @@ def forward(
     tokens: jnp.ndarray,      # int32 [B, S]
     start_pos,                # traced int32 scalar
     cache: KVCache,
+    attn_impl: str = "xla",   # "xla" | "flash" (Pallas fused kernel)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One forward pass (prefill when S>1, decode step when S==1).
 
@@ -91,19 +97,30 @@ def forward(
     x = jnp.take(params.tok_embeddings, tokens, axis=0)          # [B,S,dim] bf16
     cos = lax.dynamic_slice_in_dim(params.rope_cos, start_pos, S, 0)
     sin = lax.dynamic_slice_in_dim(params.rope_sin, start_pos, S, 0)
-    mask = attention_mask(S, T, start_pos)[None, :, :]            # [1,S,T]
+    mask = None
+    if attn_impl == "xla":
+        mask = attention_mask(S, T, start_pos)[None, :, :]        # [1,S,T]
+
+    def attend(q, ck, cv):
+        if attn_impl == "flash":
+            from llama_nuts_and_bolts_tpu.kernels.attention import flash_gqa_attention
+
+            block_k = next((b for b in (512, 256, 128) if T % b == 0), T)
+            return flash_gqa_attention(q, ck, cv, start_pos, block_k=block_k)
+        return gqa_attention(q, ck, cv, mask)
 
     def block(x, scanned):
-        w, ck, cv = scanned                                       # ck/cv [B,T,KV,D]
+        w, ck, cv = scanned                                       # ck/cv [B,KV,T,D]
         h = rms_norm(x, w["attn_norm"], cfg.norm_eps)
         q = linear(h, w["wq"]).reshape(B, S, H, D)
         k = linear(h, w["wk"]).reshape(B, S, KV, D)
         v = linear(h, w["wv"]).reshape(B, S, KV, D)
         q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start_pos, 0, 0))
-        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start_pos, 0, 0))
-        att = gqa_attention(q, ck, cv, mask)
+        k = apply_rope(k, cos, sin).transpose(0, 2, 1, 3)         # [B,KV,S,D]
+        v = v.transpose(0, 2, 1, 3)
+        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, start_pos, 0))
+        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, start_pos, 0))
+        att = attend(q, ck, cv)
         x = x + linear(att.reshape(B, S, H * D), w["wo"])
         h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
         x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])

@@ -20,14 +20,14 @@ from jax import lax
 
 def gqa_attention(
     q: jnp.ndarray,            # [B, S, n_heads, head_dim]
-    k: jnp.ndarray,            # [B, T, kv_heads, head_dim]
-    v: jnp.ndarray,            # [B, T, kv_heads, head_dim]
+    k: jnp.ndarray,            # [B, kv_heads, T, head_dim]  (cache layout)
+    v: jnp.ndarray,            # [B, kv_heads, T, head_dim]
     mask: Optional[jnp.ndarray] = None,  # broadcastable to [B, S, T], 0/-inf additive
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """Returns [B, S, n_heads, head_dim] in q.dtype."""
     B, S, H, D = q.shape
-    _, T, KV, _ = k.shape
+    _, KV, T, _ = k.shape
     G = H // KV
     if scale is None:
         scale = 1.0 / (D ** 0.5)
@@ -35,15 +35,17 @@ def gqa_attention(
     qg = q.reshape(B, S, KV, G, D)
     # scores[b, kv, g, s, t] — fp32 accumulate on the MXU
     scores = jnp.einsum(
-        "bskgd,btkd->bkgst", qg, k, preferred_element_type=jnp.float32
+        "bskgd,bktd->bkgst", qg, k, preferred_element_type=jnp.float32
     ) * scale
     if mask is not None:
         scores = scores + mask[:, None, None, :, :].astype(jnp.float32)
     probs = jnp.exp(scores - lax.stop_gradient(
         jnp.max(scores, axis=-1, keepdims=True)))
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    # operand order matters: v-first lowers to a supported bf16 batched dot
+    # on XLA:CPU (p-first hits an UNIMPLEMENTED DotThunk at some shapes)
     out = jnp.einsum(
-        "bkgst,btkd->bskgd", probs.astype(q.dtype), v,
+        "bktd,bkgst->bskgd", v, probs.astype(q.dtype),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(B, S, H, D).astype(q.dtype)

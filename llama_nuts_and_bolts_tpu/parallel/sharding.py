@@ -74,8 +74,8 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
 
 
 def cache_sharding(mesh: Mesh) -> NamedSharding:
-    # [L, B, T, KV, hd]: batch on dp, kv heads on tp
-    return NamedSharding(mesh, P(None, "dp", None, "tp", None))
+    # [L, B, KV, T, hd]: batch on dp, kv heads on tp
+    return NamedSharding(mesh, P(None, "dp", "tp", None, None))
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:

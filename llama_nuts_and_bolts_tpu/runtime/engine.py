@@ -58,7 +58,8 @@ class InferenceEngine:
         self.seq_len = self.args.sequence_length or model.cfg.max_sequence_length
         self.log = log_fn or (lambda fmt, *a: get_logger().debug(fmt, *a))
         # one executable per (batch, seqlen-bucket); decode step is S=1
-        self._fwd = jax.jit(forward, static_argnums=(1,), donate_argnums=(4,))
+        self._fwd = jax.jit(forward, static_argnums=(1,),
+                            static_argnames=("attn_impl",), donate_argnums=(4,))
         self._rng = jax.random.PRNGKey(self.args.seed)
 
     # ------------------------------------------------------------ tokenize
@@ -82,6 +83,16 @@ class InferenceEngine:
 
     def token_batch_to_debug_string(self, token_ids) -> str:
         return self.model.vocab.debug_string(token_ids)
+
+    def _attn_impl(self, seq_len: int) -> str:
+        """Pallas flash attention for TPU prefill; XLA elsewhere (decode's
+        S=1 tiles are too small for the MXU-folded kernel to help)."""
+        if self.args.attn_impl != "auto":
+            return self.args.attn_impl
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        if seq_len > 1 and on_tpu and self.model.cfg.head_dim % 128 == 0:
+            return "flash"
+        return "xla"
 
     # ------------------------------------------------------------- decode
 
@@ -112,7 +123,8 @@ class InferenceEngine:
         padded = np.zeros((1, bucket), dtype=np.int32)
         padded[0, :prompt_len] = prompt_tokens
         self.log("Running prefill: prompt_len=%d bucket=%d", prompt_len, bucket)
-        logits, cache = self._fwd(self.model.params, cfg, jnp.asarray(padded), 0, cache)
+        logits, cache = self._fwd(self.model.params, cfg, jnp.asarray(padded), 0,
+                                  cache, attn_impl=self._attn_impl(bucket))
         next_token = self._select_token(logits[0, prompt_len - 1])
 
         cur_pos = prompt_len
@@ -125,7 +137,8 @@ class InferenceEngine:
                 return
             yield GenerationState.IN_PROGRESS, next_token
             step = jnp.asarray([[next_token]], dtype=jnp.int32)
-            logits, cache = self._fwd(self.model.params, cfg, step, cur_pos, cache)
+            logits, cache = self._fwd(self.model.params, cfg, step, cur_pos,
+                                      cache, attn_impl=self._attn_impl(1))
             next_token = self._select_token(logits[0, -1])
             cur_pos += 1
 

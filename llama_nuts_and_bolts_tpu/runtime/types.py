@@ -60,6 +60,7 @@ class InferenceArgs:
     top_k: int = 0
     top_p: float = 1.0
     seed: int = 0
+    attn_impl: str = "auto"  # "auto" | "xla" | "flash" (Pallas fused kernel)
 
 
 @dataclass

@@ -1,0 +1,87 @@
+"""Pallas kernel tests (interpret mode on CPU): the flash GQA attention
+kernel must match the jnp reference path across shapes, start positions,
+padding, and block-size edge cases."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llama_nuts_and_bolts_tpu.kernels.attention import flash_gqa_attention
+from llama_nuts_and_bolts_tpu.models.llama.model import attention_mask
+from llama_nuts_and_bolts_tpu.ops.attention import gqa_attention
+
+
+def make_qkv(B, S, H, KV, D, T, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (B, S, H, D), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, KV, T, D), jnp.float32).astype(jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, KV, T, D), jnp.float32).astype(jnp.bfloat16)
+    return q, k, v
+
+
+FLASH = jax.jit(flash_gqa_attention, static_argnums=(4, 5, 6, 7))
+REF = jax.jit(lambda q, k, v, m: gqa_attention(q, k, v, m))
+
+
+def check(B, S, H, KV, D, T, start_pos, block_q=32, block_k=128, seed=0):
+    q, k, v = make_qkv(B, S, H, KV, D, T, seed)
+    mask = attention_mask(S, T, start_pos)[None]
+    ref = REF(q, k, v, mask)
+    got = FLASH(q, k, v, start_pos, None, block_q, block_k, True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)
+
+
+def test_prefill_from_zero():
+    check(B=2, S=64, H=8, KV=2, D=32, T=128, start_pos=0)
+
+
+def test_prefill_with_history():
+    check(B=1, S=32, H=8, KV=4, D=32, T=128, start_pos=57)
+
+
+def test_unpadded_seq_len():
+    # S=40 not a multiple of block_q=32: kernel pads and slices back
+    check(B=1, S=40, H=4, KV=2, D=32, T=128, start_pos=3)
+
+
+def test_cache_not_multiple_of_128():
+    # T=192: block_k falls back cleanly via divisor choice in caller
+    check(B=1, S=16, H=4, KV=1, D=32, T=192, start_pos=10, block_k=64)
+
+
+def test_single_kv_head_mha():
+    check(B=1, S=32, H=4, KV=4, D=32, T=128, start_pos=0)  # G=1 (MHA)
+
+
+def test_forward_flash_impl_matches_xla():
+    from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+    from llama_nuts_and_bolts_tpu.models.llama import forward, init_random_params
+    from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
+
+    cfg = ModelArgs(dim=64, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=96,
+                    multiple_of=32, max_sequence_length=64)
+    params = jax.jit(init_random_params, static_argnums=(0,))(cfg, jax.random.PRNGKey(0))
+    tokens = jnp.asarray([[5, 17, 42, 7, 9, 2, 6, 1]], dtype=jnp.int32)
+
+    fwd = jax.jit(forward, static_argnums=(1,), static_argnames=("attn_impl",))
+    ref, _ = fwd(params, cfg, tokens, 0, KVCache.create(cfg, 1, 128))
+    # interpret-mode flash inside the full forward
+    import llama_nuts_and_bolts_tpu.kernels.attention as ka
+    import functools
+    orig = ka.flash_gqa_attention
+    ka.flash_gqa_attention = functools.partial(orig, interpret=True)
+    try:
+        got, _ = fwd(params, cfg, tokens, 0, KVCache.create(cfg, 1, 128),
+                     attn_impl="flash")
+    finally:
+        ka.flash_gqa_attention = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=5e-2)
+    top2 = np.sort(np.asarray(ref), axis=-1)[..., -2:]
+    decisive = (top2[..., 1] - top2[..., 0]) > 0.15
+    np.testing.assert_array_equal(
+        np.asarray(got).argmax(-1)[decisive], np.asarray(ref).argmax(-1)[decisive])

@@ -150,8 +150,8 @@ def test_prefill_logits_match_oracle(tiny_model):
     # differences from matmul accumulation order
     for l in range(TINY.n_layers):
         np.testing.assert_allclose(
-            np.asarray(cache.k[l], dtype=np.float32)[:, :S],
-            cache_k[l].float().numpy()[:, :S],
+            np.asarray(cache.k[l], dtype=np.float32)[:, :, :S],  # [B,KV,T,D]
+            cache_k[l].float().numpy()[:, :S].transpose(0, 2, 1, 3),
             rtol=3e-2, atol=6e-2,
         )
 
