@@ -75,11 +75,41 @@ def byte_pair_merge(piece: bytes, ranks: Dict[bytes, int]) -> List[int]:
     ]
 
 
-def encode_ordinary(text: str, ranks: Dict[bytes, int]) -> List[int]:
-    """Encode plain text (no special tokens): regex pre-split, then BPE."""
+# per-vocabulary native merge contexts (one vocab per process in practice)
+_NATIVE_CACHE: Dict[int, object] = {}
+
+
+def _native_for(ranks: Dict[bytes, int]):
+    key = id(ranks)
+    ctx = _NATIVE_CACHE.get(key)
+    if ctx is None and key not in _NATIVE_CACHE:
+        try:
+            from llama_nuts_and_bolts_tpu.tokenizer.native import NativeBpe
+
+            ctx = NativeBpe(ranks)
+        except Exception:
+            ctx = None
+        _NATIVE_CACHE[key] = ctx
+    return ctx
+
+
+def encode_ordinary(text: str, ranks: Dict[bytes, int],
+                    use_native: bool = True) -> List[int]:
+    """Encode plain text (no special tokens): regex pre-split, then BPE.
+
+    The merge loop runs in the C++ fast path (native/bpe_merge.cpp) when the
+    shared library is available, falling back to byte_pair_merge otherwise;
+    both implement the same tiktoken algorithm and are cross-tested.
+    """
+    native = _native_for(ranks) if use_native else None
     out: List[int] = []
     for match in _SPLIT_RE.finditer(text):
         piece = match.group().encode("utf-8")
+        if native is not None:
+            ids = native.encode_piece(piece)
+            if ids is not None:
+                out.extend(ids)
+                continue
         rank = ranks.get(piece)
         if rank is not None:
             out.append(rank)
