@@ -222,11 +222,19 @@ def main(argv=None) -> int:
         return 0
 
     app = AppState()
+
+    def live_log(fmt, *a):
+        # surfaces engine progress in the "Running for next token" line
+        # (reference: cmd/main.go:349-352 logFn -> AppState repaint)
+        app.latest_log_text = (fmt % a) if a else fmt
+        if app.prompt_text:
+            app.update_output()
+
     engine = InferenceEngine(
         model,
         InferenceArgs(sequence_length=args.seq_len, temperature=args.temperature,
                       top_k=args.top_k, top_p=args.top_p),
-        log_fn=lambda fmt, *a: None,
+        log_fn=live_log,
     )
 
     if args.prompt is not None:

@@ -85,10 +85,14 @@ def forward(
     start_pos,                # traced int32 scalar
     cache: KVCache,
     attn_impl: str = "xla",   # "xla" | "flash" (Pallas fused kernel)
+    logits_at=None,           # traced row index: project only this position
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One forward pass (prefill when S>1, decode step when S==1).
 
-    Returns fp32 logits ``[B, S, vocab]`` and the updated cache.
+    Returns fp32 logits ``[B, S, vocab]`` and the updated cache. When
+    ``logits_at`` is given, only that sequence position is projected through
+    the vocab head (returns ``[B, 1, vocab]``) — prefill only ever consumes
+    one row, and the full-S projection is ~9% of prefill FLOPs at S=1024.
     """
     B, S = tokens.shape
     H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
@@ -127,8 +131,10 @@ def forward(
         return x, (ck, cv)
 
     x, (ck_new, cv_new) = lax.scan(block, x, (params.layers, cache.k, cache.v))
+    if logits_at is not None:
+        x = lax.dynamic_slice_in_dim(x, logits_at, 1, axis=1)     # [B,1,dim]
     x = rms_norm(x, params.norm, cfg.norm_eps)
-    logits = linear(x, params.output, out_dtype=jnp.float32)      # [B,S,vocab]
+    logits = linear(x, params.output, out_dtype=jnp.float32)      # [B,S|1,vocab]
     return logits, KVCache(k=ck_new, v=cv_new)
 
 

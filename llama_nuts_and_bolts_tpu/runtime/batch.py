@@ -68,9 +68,10 @@ def generate_tokens_batched(engine, prompts: Sequence[Sequence[int]]):
     for b, p in enumerate(prompts):
         padded[b, : min(bucket, lens[b])] = p[: min(bucket, lens[b])]
     logits, cache = engine._fwd(engine.model.params, cfg, jnp.asarray(padded), 0,
-                                cache, attn_impl=engine._attn_impl(bucket))
+                                cache, attn_impl=engine._attn_impl(bucket),
+                                logits_at=min_len - 1)
     # next token per row as of position min_len
-    next_np = np.asarray(jnp.argmax(logits[:, min_len - 1], axis=-1))
+    next_np = np.asarray(jnp.argmax(logits[:, 0], axis=-1))
 
     finished: List[Optional[GenerationState]] = [None] * B
     pos = min_len

@@ -124,8 +124,9 @@ class InferenceEngine:
         padded[0, :prompt_len] = prompt_tokens
         self.log("Running prefill: prompt_len=%d bucket=%d", prompt_len, bucket)
         logits, cache = self._fwd(self.model.params, cfg, jnp.asarray(padded), 0,
-                                  cache, attn_impl=self._attn_impl(bucket))
-        next_token = self._select_token(logits[0, prompt_len - 1])
+                                  cache, attn_impl=self._attn_impl(bucket),
+                                  logits_at=prompt_len - 1)
+        next_token = self._select_token(logits[0, 0])
 
         cur_pos = prompt_len
         while True:
