@@ -56,6 +56,7 @@ def format_meta(model: LoadedModel) -> str:
     lines.append(f"{'HeadDim (dimension of each attention head)':<60} = {cfg.head_dim}")
     lines.append(f"{'FFNHiddenDim (feed forward network hidden layer dimension)':<60} = {cfg.ffn_hidden_dim}")
     lines.append("\nModel statistics:")
+    lines.append(f"{'Model type':<60} = {cfg.model_type}")
     if elem_count:
         lines.append(f"{'Model element count':<60} = {elem_count * 1e-9:.2f} B")
         bits = 8.0 * byte_count / elem_count

@@ -42,6 +42,14 @@ class ModelArgs:
         return self.dim // self.n_heads
 
     @property
+    def model_type(self) -> str:
+        """Architecture label by layer count, like the reference's detection
+        (reference: src/model/loader.go:60-63)."""
+        return {32: "Llama-3.1-8B", 80: "Llama-3.1-70B",
+                126: "Llama-3.1-405B"}.get(self.n_layers,
+                                           f"Llama-custom-{self.n_layers}L")
+
+    @property
     def ffn_hidden_dim(self) -> int:
         """SwiGLU hidden size: 2/3·4d, scaled, rounded up to multiple_of.
 

@@ -1,0 +1,219 @@
+"""Minimal OpenAI-compatible HTTP serving layer (stdlib only).
+
+The reference is explicitly "no server" (its README); this is the idiomatic
+production extension on top of the same engine: an OpenAI-style REST surface
+so existing clients can point at the framework.
+
+Endpoints:
+  GET  /health                 — liveness + model info
+  GET  /v1/models              — model listing
+  POST /v1/completions         — {"prompt", "max_tokens", "temperature", "stream"}
+  POST /v1/chat/completions    — {"messages": [{"role","content"}], ...}
+
+``stream: true`` responds as Server-Sent Events with OpenAI-style chunk
+objects; the token stream rides the same generator the CLI consumes, so the
+UTF-8/emoji-safe detokenizer semantics apply (byte-fallback fragments are
+held until codepoints complete).
+
+Generations are serialized with a lock (single-sequence engine; batched
+serving rides runtime/batch.py and a scheduler is future work). Each request
+gets its own KV cache; weights are shared.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from llama_nuts_and_bolts_tpu.runtime import InferenceArgs, InferenceEngine
+from llama_nuts_and_bolts_tpu.runtime.types import GenerationState
+from llama_nuts_and_bolts_tpu.tokenizer import PromptPart
+from llama_nuts_and_bolts_tpu.utils.logging import get_logger
+
+
+class LlamaHTTPServer:
+    def __init__(self, engine: InferenceEngine, model_name: str = "llama-3.1-8b-instruct"):
+        self.engine = engine
+        self.model_name = model_name
+        self._gen_lock = threading.Lock()
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # ------------------------------------------------------------ requests
+
+    def _tokens_for_completion(self, prompt: str):
+        if not prompt.endswith(" "):
+            prompt += " "
+        return [self.engine.model.vocab.bos_id] + self.engine.tokenize_string(prompt)
+
+    def _tokens_for_chat(self, messages):
+        parts = []
+        for m in messages:
+            role = m.get("role", "user")
+            parts.append(PromptPart(header=role, content=m.get("content", "")))
+        return self.engine.tokenize(parts)
+
+    def generate(self, tokens, max_tokens: int, temperature: float):
+        """Serialized generation; yields (text_piece, finish_reason|None)."""
+        with self._gen_lock:
+            old_temp = self.engine.args.temperature
+            self.engine.args.temperature = temperature
+            try:
+                produced = 0
+                for part in self.engine.generate_string(tokens):
+                    if part.added_to_waiting:
+                        continue
+                    if not part.is_resend_of_waiting:
+                        produced += 1
+                    finish = None
+                    if part.generation_state == GenerationState.FINISHED_BY_REACHING_EOS:
+                        finish = "stop"
+                    elif part.generation_state == GenerationState.FINISHED_BY_REACHING_SEQ_LEN:
+                        finish = "length"
+                    text = part.decoded_string
+                    if finish == "stop" and self.engine.model.vocab.is_stop(part.token_id):
+                        text = ""  # don't surface the stop token's piece
+                    yield text, finish
+                    if finish is not None or produced >= max_tokens:
+                        if finish is None:
+                            yield "", "length"
+                        return
+            finally:
+                self.engine.args.temperature = old_temp
+
+    # ------------------------------------------------------------- plumbing
+
+    def make_handler(server_self):
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):
+                get_logger().debug("http: " + fmt, *args)
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._json(200, {"status": "ok", "model": server_self.model_name,
+                                     "model_type": server_self.engine.model.cfg.model_type})
+                elif self.path == "/v1/models":
+                    self._json(200, {"object": "list", "data": [
+                        {"id": server_self.model_name, "object": "model"}]})
+                else:
+                    self._json(404, {"error": {"message": f"unknown path {self.path}"}})
+
+            def do_POST(self):
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                except (ValueError, json.JSONDecodeError) as e:
+                    self._json(400, {"error": {"message": f"bad request body: {e}"}})
+                    return
+
+                is_chat = self.path == "/v1/chat/completions"
+                if not is_chat and self.path != "/v1/completions":
+                    self._json(404, {"error": {"message": f"unknown path {self.path}"}})
+                    return
+                try:
+                    if is_chat:
+                        messages = req.get("messages")
+                        if not isinstance(messages, list) or not messages:
+                            raise ValueError("'messages' must be a non-empty list")
+                        tokens = server_self._tokens_for_chat(messages)
+                    else:
+                        prompt = req.get("prompt")
+                        if not isinstance(prompt, str) or not prompt:
+                            raise ValueError("'prompt' must be a non-empty string")
+                        tokens = server_self._tokens_for_completion(prompt)
+                except ValueError as e:
+                    self._json(400, {"error": {"message": str(e)}})
+                    return
+
+                max_tokens = int(req.get("max_tokens", 128))
+                temperature = float(req.get("temperature", 0.0))
+                stream = bool(req.get("stream", False))
+                rid = f"cmpl-{uuid.uuid4().hex[:20]}"
+                created = int(time.time())
+                gen = server_self.generate(tokens, max_tokens, temperature)
+
+                if stream:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def chunk(data: str) -> None:
+                        payload = f"data: {data}\n\n".encode("utf-8")
+                        self.wfile.write(f"{len(payload):x}\r\n".encode())
+                        self.wfile.write(payload + b"\r\n")
+
+                    finish = None
+                    for text, fin in gen:
+                        delta = ({"content": text} if is_chat
+                                 else None)
+                        choice = ({"index": 0, "delta": delta, "finish_reason": fin}
+                                  if is_chat else
+                                  {"index": 0, "text": text, "finish_reason": fin})
+                        chunk(json.dumps({
+                            "id": rid, "created": created,
+                            "object": ("chat.completion.chunk" if is_chat
+                                       else "text_completion"),
+                            "model": server_self.model_name,
+                            "choices": [choice]}))
+                        finish = fin
+                    chunk("[DONE]")
+                    self.wfile.write(b"0\r\n\r\n")
+                else:
+                    pieces, finish = [], "length"
+                    for text, fin in gen:
+                        pieces.append(text)
+                        if fin:
+                            finish = fin
+                    full = "".join(pieces)
+                    if is_chat:
+                        choice = {"index": 0, "finish_reason": finish,
+                                  "message": {"role": "assistant", "content": full}}
+                    else:
+                        choice = {"index": 0, "finish_reason": finish, "text": full}
+                    self._json(200, {
+                        "id": rid, "created": created,
+                        "object": "chat.completion" if is_chat else "text_completion",
+                        "model": server_self.model_name,
+                        "choices": [choice],
+                        "usage": {"prompt_tokens": len(tokens),
+                                  "completion_tokens": len(pieces)},
+                    })
+
+        return Handler
+
+    def serve_forever(self, host: str = "127.0.0.1", port: int = 8000):
+        self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        get_logger().info("Serving %s on http://%s:%d", self.model_name, host, port)
+        self._httpd.serve_forever()
+
+    def start_background(self, host: str = "127.0.0.1", port: int = 0) -> int:
+        """Start in a daemon thread; returns the bound port (0 ⇒ ephemeral)."""
+        self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return self._httpd.server_address[1]
+
+    def shutdown(self):
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd = None
+
+
+def serve(engine: InferenceEngine, host: str = "0.0.0.0", port: int = 8000,
+          model_name: str = "llama-3.1-8b-instruct"):
+    LlamaHTTPServer(engine, model_name).serve_forever(host, port)

@@ -1,0 +1,92 @@
+"""HTTP serving layer: OpenAI-style endpoints against the tiny engine."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from llama_nuts_and_bolts_tpu.serving.server import LlamaHTTPServer
+
+from tests.test_streaming import make_engine
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = LlamaHTTPServer(make_engine(sequence_length=32), model_name="tiny-test")
+    port = srv.start_background()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def post(url, obj):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(), method="POST",
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_health_and_models(server):
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and health["model"] == "tiny-test"
+    with urllib.request.urlopen(server + "/v1/models", timeout=30) as r:
+        models = json.loads(r.read())
+    assert models["data"][0]["id"] == "tiny-test"
+
+
+def test_completions(server):
+    status, body = post(server + "/v1/completions",
+                        {"prompt": "hello", "max_tokens": 8})
+    assert status == 200
+    choice = body["choices"][0]
+    assert choice["finish_reason"] in ("stop", "length")
+    assert isinstance(choice["text"], str)
+    assert body["usage"]["prompt_tokens"] > 0
+
+
+def test_chat_completions(server):
+    status, body = post(server + "/v1/chat/completions",
+                        {"messages": [{"role": "user", "content": "hi"}],
+                         "max_tokens": 8})
+    assert status == 200
+    msg = body["choices"][0]["message"]
+    assert msg["role"] == "assistant"
+    assert isinstance(msg["content"], str)
+
+
+def test_streaming_sse(server):
+    req = urllib.request.Request(
+        server + "/v1/chat/completions",
+        data=json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                         "max_tokens": 6, "stream": True}).encode(),
+        method="POST", headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        raw = resp.read().decode()
+    events = [line[6:] for line in raw.split("\n") if line.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert chunks, "no streamed chunks"
+    assert chunks[0]["object"] == "chat.completion.chunk"
+    assert all("delta" in c["choices"][0] for c in chunks)
+
+
+def test_bad_requests(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post(server + "/v1/completions", {"prompt": ""})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post(server + "/v1/chat/completions", {"messages": []})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post(server + "/v1/nonexistent", {})
+    assert e.value.code == 404
+
+
+def test_max_tokens_respected(server):
+    status, body = post(server + "/v1/completions",
+                        {"prompt": "abc", "max_tokens": 3})
+    assert status == 200
+    assert body["usage"]["completion_tokens"] <= 4  # +1 possible resend flush

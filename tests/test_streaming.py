@@ -34,19 +34,7 @@ from llama_nuts_and_bolts_tpu.tokenizer import TiktokenModel, Vocabulary
 from llama_nuts_and_bolts_tpu.tokenizer.tiktoken_io import build_special_tokens
 
 
-def hex_to_bytes(s: str) -> bytes:
-    """Expand ``<0xNN>`` escapes like the reference's test helper
-    (reference: src/common/utils.go:79-107)."""
-    out = bytearray()
-    i = 0
-    while i < len(s):
-        if s[i] == "<" and i + 5 < len(s) and s[i + 1 : i + 3] == "0x" and s[i + 5] == ">":
-            out.append(int(s[i + 3 : i + 5], 16))
-            i += 6
-        else:
-            out.extend(s[i].encode("utf-8"))
-            i += 1
-    return bytes(out)
+from llama_nuts_and_bolts_tpu.utils.hexcodes import replace_hex_with_bytes as hex_to_bytes
 
 
 def make_vocab_and_ranks():
