@@ -133,6 +133,33 @@ def main() -> None:
     ttft_long = time.perf_counter() - t0
     del cache2
 
+    # batched decode throughput (BASELINE config #4): same weights read per
+    # step amortized over 16 sequences
+    BATCH = 16
+    bt = jnp.ones((BATCH, 1), dtype=jnp.int32)
+    bcache = KVCache.create(cfg, BATCH, SEQ_CAP)
+
+    def decode_batch(params, cache, tok, start_pos):
+        def body(carry, _):
+            tok, pos, cache = carry
+            logits, cache = forward(params, cfg, tok, pos, cache)
+            nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            return (nxt, pos + 1, cache), nxt[:, 0]
+
+        (tok, pos, cache), toks = lax.scan(
+            body, (tok, start_pos, cache), None, length=DECODE_STEPS)
+        return toks, cache
+
+    decode_batch_jit = jax.jit(decode_batch, donate_argnums=(1,))
+    toks_b, bcache = decode_batch_jit(params, bcache, bt, 1)
+    sync(toks_b)  # compile
+    bcache = KVCache.create(cfg, BATCH, SEQ_CAP)
+    t0 = time.perf_counter()
+    toks_b, bcache = decode_batch_jit(params, bcache, bt, 1)
+    sync(toks_b)
+    batch_toks_per_s = BATCH * DECODE_STEPS / (time.perf_counter() - t0)
+    del bcache
+
     roofline = V5E_HBM_BYTES_PER_S / param_bytes(cfg)
     print(json.dumps({
         "metric": f"decode_tokens_per_sec_per_chip_llama31-{n_layers}L_bf16_b1",
@@ -142,6 +169,7 @@ def main() -> None:
         "detail": {
             "p50_ttft_warm_s": round(ttft, 4),
             "ttft_1024tok_prefill_flash_s": round(ttft_long, 4),
+            "batch16_decode_total_tokens_per_s": round(batch_toks_per_s, 2),
             "ttft_cold_s": round(ttft_cold, 2),
             "param_bytes": param_bytes(cfg),
             "roofline_tokens_per_s": round(roofline, 2),

@@ -208,3 +208,88 @@ def _find_class_torch(module: str, name: str) -> Any:
 
 def load_torch_checkpoint(path: str) -> Dict[str, HostTensor]:
     return TorchCheckpointReader(path).load()
+
+
+# ---------------------------------------------------------------- sharded
+
+# Meta's model-parallel checkpoint sharding (70B ships as consolidated.00-07.pth):
+# column-parallel weights concatenate along dim 0, row-parallel along dim 1,
+# embeddings along the embedding dim; norms are replicated across shards.
+_SHARD_AXIS_RULES: Tuple[Tuple[str, Optional[int]], ...] = (
+    ("tok_embeddings.weight", 1),
+    ("output.weight", 0),
+    (".attention.wq.weight", 0),
+    (".attention.wk.weight", 0),
+    (".attention.wv.weight", 0),
+    (".attention.wo.weight", 1),
+    (".feed_forward.w1.weight", 0),
+    (".feed_forward.w3.weight", 0),
+    (".feed_forward.w2.weight", 1),
+    ("norm.weight", None),          # replicated (attention_norm/ffn_norm/norm)
+    ("rope.freqs", None),
+)
+
+
+def shard_concat_axis(name: str) -> Optional[int]:
+    for suffix, axis in _SHARD_AXIS_RULES:
+        if name.endswith(suffix) or name == suffix:
+            return axis
+    return None
+
+
+@dataclass
+class ShardedHostTensor:
+    """A tensor split across checkpoint shards; concatenated lazily.
+
+    ``array`` materializes the combined tensor (one host copy of THIS tensor
+    only — callers assemble one weight group at a time, so peak host memory
+    stays bounded by a single layer's weights, not the model).
+    """
+
+    name: str
+    shards: List[HostTensor]
+    axis: Optional[int]
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        base = list(self.shards[0].shape)
+        if self.axis is not None:
+            base[self.axis] = sum(s.shape[self.axis] for s in self.shards)
+        return tuple(base)
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self.shards[0].dtype
+
+    @property
+    def array(self) -> np.ndarray:
+        if self.axis is None or len(self.shards) == 1:
+            return self.shards[0].array
+        return np.concatenate([s.array for s in self.shards], axis=self.axis)
+
+    @property
+    def elem_count(self) -> int:
+        return int(np.prod(self.shape))
+
+    @property
+    def byte_count(self) -> int:
+        return self.elem_count * self.dtype.itemsize
+
+
+def load_sharded_checkpoint(paths: Sequence[str]) -> Dict[str, ShardedHostTensor]:
+    """Load ``consolidated.00..NN.pth`` as lazily-concatenated tensors."""
+    per_shard = [TorchCheckpointReader(p).load() for p in paths]
+    names = list(per_shard[0].keys())
+    out: Dict[str, ShardedHostTensor] = {}
+    for name in names:
+        shards = [s[name] for s in per_shard if name in s]
+        out[name] = ShardedHostTensor(
+            name=name, shards=shards, axis=shard_concat_axis(name))
+    return out
+
+
+def find_checkpoint_shards(model_dir: str) -> List[str]:
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(model_dir, "consolidated.*.pth")))
+    return [p for p in paths if os.path.basename(p).split(".")[1].isdigit()]

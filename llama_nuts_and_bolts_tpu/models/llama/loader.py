@@ -19,7 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from llama_nuts_and_bolts_tpu.io.params import ModelArgs, load_model_args
-from llama_nuts_and_bolts_tpu.io.torch_ckpt import HostTensor, load_torch_checkpoint
+from llama_nuts_and_bolts_tpu.io.torch_ckpt import (
+    HostTensor,
+    find_checkpoint_shards,
+    load_sharded_checkpoint,
+    load_torch_checkpoint,
+)
 from llama_nuts_and_bolts_tpu.models.llama.model import (
     LlamaParams,
     layer_weight_shapes,
@@ -160,7 +165,13 @@ def load_llama_model(
     tensor_meta: Dict[str, Tuple[Tuple[int, ...], str]] = {}
     if include_tensors:
         log.info("Loading checkpoint %s ...", model_dir)
-        tensors = load_torch_checkpoint(os.path.join(model_dir, "consolidated.00.pth"))
+        shards = find_checkpoint_shards(model_dir)
+        if len(shards) > 1:
+            # Meta's model-parallel multi-file format (70B ships 8 shards)
+            log.info("Found %d checkpoint shards.", len(shards))
+            tensors = load_sharded_checkpoint(shards)
+        else:
+            tensors = load_torch_checkpoint(os.path.join(model_dir, "consolidated.00.pth"))
         tensor_meta = {n: (t.shape, str(t.dtype)) for n, t in tensors.items()}
         params = build_params_from_checkpoint(tensors, cfg, sharding_fn)
         log.info("Loaded %d tensors.", len(tensors))
