@@ -71,6 +71,8 @@ def parse_args(argv=None):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--top-k", type=int, default=0)
     p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="weight-only quantization (int8 fits full 8B on one v5e chip)")
     p.add_argument("--debug", action="store_true", help="write debug.log trace")
     p.add_argument("--tiny", action="store_true",
                    help="use a tiny random-weights model + synthetic tokenizer "
@@ -206,13 +208,20 @@ def main(argv=None) -> int:
 
     if args.tiny:
         model = load_tiny_model()
-        print("Tiny random-weights demo model loaded.\n")
+        if args.quant != "none":
+            from llama_nuts_and_bolts_tpu.quant import quantize_params
+
+            model.params = quantize_params(model.params)
+            print(f"Tiny demo model loaded ({args.quant}-quantized).\n")
+        else:
+            print("Tiny random-weights demo model loaded.\n")
     else:
         model_dir = discover_model_dir(args.model_dir)
         print(f'Found model files in "{model_dir}"...')
         from llama_nuts_and_bolts_tpu.models.llama.loader import load_llama_model
 
-        model = load_llama_model(model_dir, max_sequence_length=args.seq_len)
+        model = load_llama_model(model_dir, max_sequence_length=args.seq_len,
+                                 quant=None if args.quant == "none" else args.quant)
         print(f'Model "{model_dir}" was loaded.\n')
 
     if args.meta:

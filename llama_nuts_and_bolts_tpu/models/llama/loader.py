@@ -84,18 +84,37 @@ def validate_checkpoint(tensors: Dict[str, HostTensor], cfg: ModelArgs) -> None:
 ShardingFn = Callable[[str], Optional[jax.sharding.Sharding]]
 
 
+def _host_quantize_int8(host: np.ndarray):
+    """Per-output-channel symmetric int8 on the host (last dim = contraction).
+
+    Runs on the memmap-backed group BEFORE device_put, so a 16 GB bf16 model
+    reaches the chip as 8 GB of int8 without ever being resident in HBM."""
+    w32 = np.asarray(host, dtype=np.float32)
+    amax = np.max(np.abs(w32), axis=-1, keepdims=True)
+    scale = np.maximum(amax / 127.0, 1e-8)
+    q = np.clip(np.rint(w32 / scale), -127, 127).astype(np.int8)
+    import ml_dtypes
+
+    return q, scale[..., 0].astype(ml_dtypes.bfloat16)
+
+
 def build_params_from_checkpoint(
     tensors: Dict[str, HostTensor],
     cfg: ModelArgs,
     sharding_fn: Optional[ShardingFn] = None,
     dtype=jnp.bfloat16,
+    quant: Optional[str] = None,
 ) -> LlamaParams:
     """Stack per-layer host views to [L, ...] and ship to device.
 
     ``sharding_fn(weight_key)`` may return a Sharding per weight group (keys:
     layer weight names plus 'tok_embeddings', 'norm', 'output', 'rope') so
     tensor-parallel loads place shards directly without a full replica.
+    ``quant="int8"`` quantizes the matmul groups per-output-channel on the
+    host; norms/embeddings stay bf16.
     """
+    if quant not in (None, "int8"):
+        raise ValueError(f"unsupported quant mode {quant!r}")
     validate_checkpoint(tensors, cfg)
     log = get_logger()
 
@@ -104,13 +123,21 @@ def build_params_from_checkpoint(
         arr = jax.device_put(host, sharding) if sharding is not None else jnp.asarray(host)
         return arr.astype(dtype) if arr.dtype != dtype and host.dtype.itemsize == 2 else arr
 
+    def put_weight(key: str, host: np.ndarray):
+        if quant == "int8" and not key.endswith("norm"):
+            from llama_nuts_and_bolts_tpu.quant import QTensor
+
+            q, scale = _host_quantize_int8(host)
+            return QTensor(q=put(key, q), scale=jnp.asarray(scale))
+        return put(key, host)
+
     layers: Dict[str, jnp.ndarray] = {}
     for key, tmpl in CKPT_LAYER_NAMES.items():
         views = [tensors[tmpl.format(i=i)].array for i in range(cfg.n_layers)]
         host = np.stack(views)  # one host copy of this weight group only
-        layers[key] = put(key, host)
+        layers[key] = put_weight(key, host)
         del host
-        log.debug("loaded weight group %s %s", key, layers[key].shape)
+        log.debug("loaded weight group %s", key)
 
     cos, sin = precompute_rope_tables(
         cfg.head_dim, 2 * cfg.max_sequence_length, cfg.rope_theta, cfg.use_scaled_rope
@@ -120,7 +147,7 @@ def build_params_from_checkpoint(
         tok_embeddings=put("tok_embeddings", tensors["tok_embeddings.weight"].array),
         layers=layers,
         norm=put("norm", tensors["norm.weight"].array),
-        output=put("output", tensors["output.weight"].array),
+        output=put_weight("output", tensors["output.weight"].array),
         rope_cos=jax.device_put(cos, rope_sharding) if rope_sharding else jnp.asarray(cos),
         rope_sin=jax.device_put(sin, rope_sharding) if rope_sharding else jnp.asarray(sin),
     )
@@ -143,6 +170,7 @@ def load_llama_model(
     max_sequence_length: Optional[int] = None,
     sharding_fn: Optional[ShardingFn] = None,
     include_tensors: bool = True,
+    quant: Optional[str] = None,
 ) -> LoadedModel:
     """Load Meta-format model dir: consolidated.00.pth + params.json + tokenizer.model.
 
@@ -173,7 +201,7 @@ def load_llama_model(
         else:
             tensors = load_torch_checkpoint(os.path.join(model_dir, "consolidated.00.pth"))
         tensor_meta = {n: (t.shape, str(t.dtype)) for n, t in tensors.items()}
-        params = build_params_from_checkpoint(tensors, cfg, sharding_fn)
+        params = build_params_from_checkpoint(tensors, cfg, sharding_fn, quant=quant)
         log.info("Loaded %d tensors.", len(tensors))
     return LoadedModel(params=params, cfg=cfg, vocab=vocab,
                        mergeable_ranks=tk_model.mergeable_ranks,
