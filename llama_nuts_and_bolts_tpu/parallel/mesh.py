@@ -16,17 +16,20 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(tp: Optional[int] = None, dp: int = 1,
+def make_mesh(tp: Optional[int] = None, dp: int = 1, sp: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Mesh with axes (dp, tp). Default: all devices on the tp axis."""
+    """Mesh with axes (dp, sp, tp). Defaults put all devices on tp; the sp
+    (sequence-parallel) axis shards the prefill sequence dimension — specs
+    that never mention "sp" are unaffected by its presence."""
     devs = list(devices) if devices is not None else jax.devices()
     if tp is None:
-        tp = len(devs) // dp
-    if dp * tp > len(devs) or dp * tp == 0 or len(devs) % (dp * tp) != 0:
-        raise ValueError(f"dp({dp}) * tp({tp}) incompatible with device count ({len(devs)})")
-    devs = devs[: dp * tp]
-    arr = np.array(devs).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        tp = len(devs) // (dp * sp)
+    total = dp * sp * tp
+    if total > len(devs) or total == 0 or len(devs) % max(total, 1) != 0:
+        raise ValueError(
+            f"dp({dp}) * sp({sp}) * tp({tp}) incompatible with device count ({len(devs)})")
+    arr = np.array(devs[:total]).reshape(dp, sp, tp)
+    return Mesh(arr, axis_names=("dp", "sp", "tp"))
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,

@@ -83,5 +83,8 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     return KVCache(k=jax.device_put(cache.k, s), v=jax.device_put(cache.v, s))
 
 
-def token_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P("dp", None))
+def token_sharding(mesh: Mesh, seq_parallel: bool = False) -> NamedSharding:
+    """Tokens [B, S]: batch on dp; with ``seq_parallel`` the prefill sequence
+    dim shards on sp — embeddings/norms/FFN partition along S for free and
+    XLA all-gathers K/V for attention (sequence parallelism for prefill)."""
+    return NamedSharding(mesh, P("dp", "sp" if seq_parallel else None))

@@ -37,9 +37,11 @@ def params():
 def test_mesh_shapes():
     assert len(jax.devices()) == 8
     mesh = make_mesh()
-    assert mesh.shape == {"dp": 1, "tp": 8}
+    assert mesh.shape == {"dp": 1, "sp": 1, "tp": 8}
     mesh2 = make_mesh(tp=4, dp=2)
-    assert mesh2.shape == {"dp": 2, "tp": 4}
+    assert mesh2.shape == {"dp": 2, "sp": 1, "tp": 4}
+    mesh3 = make_mesh(tp=2, dp=2, sp=2)
+    assert mesh3.shape == {"dp": 2, "sp": 2, "tp": 2}
     with pytest.raises(ValueError):
         make_mesh(tp=3, dp=2)
 
@@ -120,3 +122,20 @@ def test_sharded_loader_path(params):
     logits, _ = FWD(sharded, CFG, tokens, 0,
                     shard_cache(KVCache.create(CFG, 1, 16), mesh))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_sequence_parallel_prefill_matches(params):
+    """sp-sharded prefill (sequence dim split across chips) must reproduce
+    the unsharded logits — XLA inserts the K/V gathers."""
+    tokens = jnp.asarray([[3, 14, 15, 92, 9, 2, 6, 53]], dtype=jnp.int32)
+    ref, _ = FWD(params, CFG, tokens, 0, KVCache.create(CFG, 1, 32))
+
+    mesh = make_mesh(tp=2, dp=1, sp=4)
+    sp_params = shard_params(params, mesh)
+    st = jax.device_put(tokens, token_sharding(mesh, seq_parallel=True))
+    sc = shard_cache(KVCache.create(CFG, 1, 32), mesh)
+    got, _ = FWD(sp_params, CFG, st, 0, sc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(
+        np.asarray(got).argmax(-1), np.asarray(ref).argmax(-1))
