@@ -56,6 +56,19 @@ class LlamaHTTPServer:
             parts.append(PromptPart(header=role, content=m.get("content", "")))
         return self.engine.tokenize(parts)
 
+    def generate_block(self, tokens, max_tokens: int):
+        """Non-streaming greedy path: the whole decode loop runs on device
+        (runtime/device_loop.py) — one dispatch instead of one per token."""
+        from llama_nuts_and_bolts_tpu.runtime.device_loop import generate_block
+
+        with self._gen_lock:
+            ids, finish = generate_block(self.engine, list(tokens), max_tokens)
+        # strip the stop token from the rendered text like the streaming path
+        if finish == "stop":
+            ids = ids[:-1]
+        _pieces, text = self.engine.token_batch_to_string(ids)
+        return text, finish, len(ids)
+
     def generate(self, tokens, max_tokens: int, temperature: float):
         """Serialized generation; yields (text_piece, finish_reason|None)."""
         with self._gen_lock:
@@ -174,12 +187,18 @@ class LlamaHTTPServer:
                     chunk("[DONE]")
                     self.wfile.write(b"0\r\n\r\n")
                 else:
-                    pieces, finish = [], "length"
-                    for text, fin in gen:
-                        pieces.append(text)
-                        if fin:
-                            finish = fin
-                    full = "".join(pieces)
+                    if temperature == 0.0:
+                        # greedy non-streaming: on-device decode loop
+                        full, finish, n_out = server_self.generate_block(
+                            tokens, max_tokens)
+                        pieces = [None] * n_out
+                    else:
+                        pieces, finish = [], "length"
+                        for text, fin in gen:
+                            pieces.append(text)
+                            if fin:
+                                finish = fin
+                        full = "".join(pieces)
                     if is_chat:
                         choice = {"index": 0, "finish_reason": finish,
                                   "message": {"role": "assistant", "content": full}}
