@@ -21,3 +21,22 @@ Layer map (mirrors SURVEY.md §1, rebuilt idiomatically):
 """
 
 __version__ = "0.1.0"
+
+
+# primary public API (lazy to keep bare-import cheap)
+def __getattr__(name):
+    _api = {
+        "load_llama_model": "llama_nuts_and_bolts_tpu.models.llama.loader",
+        "LoadedModel": "llama_nuts_and_bolts_tpu.models.llama.loader",
+        "InferenceEngine": "llama_nuts_and_bolts_tpu.runtime",
+        "InferenceArgs": "llama_nuts_and_bolts_tpu.runtime",
+        "ModelArgs": "llama_nuts_and_bolts_tpu.io.params",
+        "forward": "llama_nuts_and_bolts_tpu.models.llama.model",
+        "KVCache": "llama_nuts_and_bolts_tpu.models.llama.model",
+        "PromptPart": "llama_nuts_and_bolts_tpu.tokenizer",
+    }
+    if name in _api:
+        import importlib
+
+        return getattr(importlib.import_module(_api[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

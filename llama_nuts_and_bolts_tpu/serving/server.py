@@ -151,8 +151,12 @@ class LlamaHTTPServer:
                     self._json(400, {"error": {"message": str(e)}})
                     return
 
-                max_tokens = int(req.get("max_tokens", 128))
-                temperature = float(req.get("temperature", 0.0))
+                try:
+                    max_tokens = int(req.get("max_tokens", 128))
+                    temperature = float(req.get("temperature", 0.0))
+                except (TypeError, ValueError) as e:
+                    self._json(400, {"error": {"message": f"bad parameter: {e}"}})
+                    return
                 stream = bool(req.get("stream", False))
                 rid = f"cmpl-{uuid.uuid4().hex[:20]}"
                 created = int(time.time())
@@ -186,7 +190,8 @@ class LlamaHTTPServer:
                         finish = fin
                     chunk("[DONE]")
                     self.wfile.write(b"0\r\n\r\n")
-                else:
+                elif True:
+                  try:
                     if temperature == 0.0:
                         # greedy non-streaming: on-device decode loop
                         full, finish, n_out = server_self.generate_block(
@@ -212,6 +217,9 @@ class LlamaHTTPServer:
                         "usage": {"prompt_tokens": len(tokens),
                                   "completion_tokens": len(pieces)},
                     })
+                  except Exception as e:  # generation failure -> 500
+                    get_logger().error("generation failed: %s", e)
+                    self._json(500, {"error": {"message": f"generation failed: {e}"}})
 
         return Handler
 
