@@ -13,6 +13,8 @@ step cost and roofline fraction transfer directly.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
@@ -64,7 +66,32 @@ def sync(x) -> None:
     np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
 
 
+RESULTS = {}
+
+
+def emit_results() -> None:
+    """Print the one JSON line from whatever has been measured so far."""
+    print(json.dumps({
+        "metric": RESULTS.get("metric", "decode_tokens_per_sec_per_chip_llama31_bf16_b1"),
+        "value": RESULTS.get("value"),
+        "unit": "tokens/s",
+        "vs_baseline": RESULTS.get("vs_baseline"),
+        "detail": RESULTS.get("detail", {}),
+    }), flush=True)
+
+
+def _deadline(_sig, _frm):
+    # hard wall-clock guard: always emit the JSON line, even if the device
+    # stalls mid-section (tunnel congestion is a known failure mode here)
+    emit_results()
+    os._exit(0)
+
+
 def main() -> None:
+    global BENCH_T0
+    BENCH_T0 = time.perf_counter()
+    signal.signal(signal.SIGALRM, _deadline)
+    signal.alarm(520)
     n_layers = pick_layer_count(device_budget())
     cfg = ModelArgs(
         dim=4096, n_layers=n_layers, n_heads=32, n_kv_heads=8,
@@ -116,13 +143,25 @@ def main() -> None:
     decode_time = time.perf_counter() - t0
 
     toks_per_s = DECODE_STEPS / decode_time
+    roofline_main = V5E_HBM_BYTES_PER_S / param_bytes(cfg)
+    RESULTS.update({
+        "metric": f"decode_tokens_per_sec_per_chip_llama31-{n_layers}L_bf16_b1",
+        "value": round(toks_per_s, 2),
+        "vs_baseline": round(toks_per_s / roofline_main, 4),
+        "detail": {
+            "p50_ttft_warm_s": round(ttft, 4),
+            "ttft_cold_s": round(ttft_cold, 2),
+            "param_bytes": param_bytes(cfg),
+            "roofline_tokens_per_s": round(roofline_main, 2),
+            "device": str(jax.devices()[0]),
+        },
+    })
 
     # batched decode throughput (BASELINE config #4): same weights read per
     # step amortized over 16 sequences
     BATCH = 16
+    batch_toks_per_s = None
     bt = jnp.ones((BATCH, 1), dtype=jnp.int32)
-    bcache = KVCache.create(cfg, BATCH, SEQ_CAP)
-
     def decode_batch(params, cache, tok, start_pos):
         def body(carry, _):
             tok, pos, cache = carry
@@ -134,15 +173,21 @@ def main() -> None:
             body, (tok, start_pos, cache), None, length=DECODE_STEPS)
         return toks, cache
 
-    decode_batch_jit = jax.jit(decode_batch, donate_argnums=(1,))
-    toks_b, bcache = decode_batch_jit(params, bcache, bt, 1)
-    sync(toks_b)  # compile
-    bcache = KVCache.create(cfg, BATCH, SEQ_CAP)
-    t0 = time.perf_counter()
-    toks_b, bcache = decode_batch_jit(params, bcache, bt, 1)
-    sync(toks_b)
-    batch_toks_per_s = BATCH * DECODE_STEPS / (time.perf_counter() - t0)
-    del bcache
+    if time.perf_counter() - BENCH_T0 < 420:  # stay inside the time budget
+        try:
+            decode_batch_jit = jax.jit(decode_batch, donate_argnums=(1,))
+            bcache = KVCache.create(cfg, BATCH, SEQ_CAP)
+            toks_b, bcache = decode_batch_jit(params, bcache, bt, 1)
+            sync(toks_b)  # compile
+            bcache = KVCache.create(cfg, BATCH, SEQ_CAP)
+            t0 = time.perf_counter()
+            toks_b, bcache = decode_batch_jit(params, bcache, bt, 1)
+            sync(toks_b)
+            batch_toks_per_s = BATCH * DECODE_STEPS / (time.perf_counter() - t0)
+            RESULTS["detail"]["batch16_decode_total_tokens_per_s"] = round(batch_toks_per_s, 2)
+            del bcache
+        except Exception:
+            pass
 
     # FULL 32-layer 8B with int8 weight-only quantization: 8.6 GB of weights
     # fits a single chip, and bandwidth-bound decode gains ~2x per byte saved
@@ -156,6 +201,8 @@ def main() -> None:
         rope_theta=500000.0, use_scaled_rope=True, max_sequence_length=2048)
     q8_toks_per_s = None
     try:
+        if time.perf_counter() - BENCH_T0 > 420:
+            raise TimeoutError("time budget exhausted; skipping int8 section")
         qparams = init_random_params_q8(cfg8, jax.random.PRNGKey(0))
         sync(qparams)
 
@@ -180,27 +227,13 @@ def main() -> None:
         toks_q, qcache = dq(qparams, qcache, qt, 1)
         sync(toks_q)
         q8_toks_per_s = DECODE_STEPS / (time.perf_counter() - t0)
+        RESULTS["detail"]["full_8b_32L_int8_decode_tokens_per_s"] = round(q8_toks_per_s, 2)
         del qparams, qcache
     except Exception:
         pass
 
-    roofline = V5E_HBM_BYTES_PER_S / param_bytes(cfg)
-    print(json.dumps({
-        "metric": f"decode_tokens_per_sec_per_chip_llama31-{n_layers}L_bf16_b1",
-        "value": round(toks_per_s, 2),
-        "unit": "tokens/s",
-        "vs_baseline": round(toks_per_s / roofline, 4),
-        "detail": {
-            "p50_ttft_warm_s": round(ttft, 4),
-            "batch16_decode_total_tokens_per_s": round(batch_toks_per_s, 2),
-            "full_8b_32L_int8_decode_tokens_per_s": (
-                round(q8_toks_per_s, 2) if q8_toks_per_s else None),
-            "ttft_cold_s": round(ttft_cold, 2),
-            "param_bytes": param_bytes(cfg),
-            "roofline_tokens_per_s": round(roofline, 2),
-            "device": str(jax.devices()[0]),
-        },
-    }))
+    signal.alarm(0)
+    emit_results()
 
 
 if __name__ == "__main__":

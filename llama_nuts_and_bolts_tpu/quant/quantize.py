@@ -96,7 +96,7 @@ def init_random_params_q8(cfg: ModelArgs, key: jax.Array) -> LlamaParams:
 
     def rand_q(shape) -> QTensor:
         if len(shape) == 3:                      # stacked layer group
-            step = 4                              # 4 layers/call: ~1GB transient
+            step = 8                              # 8 layers/call: ~2GB transient
             chunks = []
             done = 0
             while done < shape[0]:
