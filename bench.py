@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from llama_nuts_and_bolts_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 from llama_nuts_and_bolts_tpu.io.params import ModelArgs
 from llama_nuts_and_bolts_tpu.models.llama import forward, init_random_params
@@ -229,6 +233,45 @@ def main() -> None:
         q8_toks_per_s = DECODE_STEPS / (time.perf_counter() - t0)
         RESULTS["detail"]["full_8b_32L_int8_decode_tokens_per_s"] = round(q8_toks_per_s, 2)
         del qparams, qcache
+    except Exception:
+        pass
+
+    # FULL 32-layer 8B with int4 weight-only quantization (~4.3 GB of packed
+    # nibbles): decode roofline roughly doubles again over int8
+    try:
+        if time.perf_counter() - BENCH_T0 > 440:
+            raise TimeoutError("time budget exhausted; skipping int4 section")
+        from llama_nuts_and_bolts_tpu.quant import init_random_params_q4, nativize_q4
+
+        q4params = init_random_params_q4(cfg8, jax.random.PRNGKey(0))
+        sync(q4params)
+
+        def decode_q4(params, cache, tok, start_pos):
+            # one in-jit unpack to native int4, amortized over DECODE_STEPS
+            params = nativize_q4(params)
+
+            def body(carry, _):
+                tok, pos, cache = carry
+                logits, cache = forward(params, cfg8, tok, pos, cache)
+                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                return (nxt, pos + 1, cache), nxt[:, 0]
+
+            (tok, pos, cache), toks = lax.scan(
+                body, (tok, start_pos, cache), None, length=DECODE_STEPS)
+            return toks, cache
+
+        dq4 = jax.jit(decode_q4, donate_argnums=(1,))
+        q4cache = KVCache.create(cfg8, 1, SEQ_CAP)
+        q4t = jnp.ones((1, 1), jnp.int32)
+        toks_q4, q4cache = dq4(q4params, q4cache, q4t, 1)
+        sync(toks_q4)
+        q4cache = KVCache.create(cfg8, 1, SEQ_CAP)
+        t0 = time.perf_counter()
+        toks_q4, q4cache = dq4(q4params, q4cache, q4t, 1)
+        sync(toks_q4)
+        q4_toks_per_s = DECODE_STEPS / (time.perf_counter() - t0)
+        RESULTS["detail"]["full_8b_32L_int4_decode_tokens_per_s"] = round(q4_toks_per_s, 2)
+        del q4params, q4cache
     except Exception:
         pass
 

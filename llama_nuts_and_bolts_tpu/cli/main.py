@@ -71,8 +71,12 @@ def parse_args(argv=None):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--top-k", type=int, default=0)
     p.add_argument("--top-p", type=float, default=1.0)
-    p.add_argument("--quant", choices=["none", "int8"], default="none",
-                   help="weight-only quantization (int8 fits full 8B on one v5e chip)")
+    p.add_argument("--quant", choices=["none", "int8", "int4"], default="none",
+                   help="weight-only quantization (int8/int4 fit full 8B on one v5e chip; "
+                        "int4 roughly doubles int8's decode roofline)")
+    p.add_argument("--speculate", type=int, default=0, metavar="K",
+                   help="n-gram prompt-lookup speculative decoding: verify up "
+                        "to K drafts per step (greedy only; 0 disables)")
     p.add_argument("--debug", action="store_true", help="write debug.log trace")
     p.add_argument("--tiny", action="store_true",
                    help="use a tiny random-weights model + synthetic tokenizer "
@@ -201,6 +205,8 @@ def run_generation(engine: InferenceEngine, prompt_input: PromptInput,
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    from llama_nuts_and_bolts_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     print("Welcome to Llama 3.1 Nuts and Bolts (TPU edition)!")
     print("=================================\n\n")
 
@@ -209,9 +215,10 @@ def main(argv=None) -> int:
     if args.tiny:
         model = load_tiny_model()
         if args.quant != "none":
-            from llama_nuts_and_bolts_tpu.quant import quantize_params
+            from llama_nuts_and_bolts_tpu.quant import quantize_params, quantize_params_q4
 
-            model.params = quantize_params(model.params)
+            qfn = quantize_params_q4 if args.quant == "int4" else quantize_params
+            model.params = qfn(model.params)
             print(f"Tiny demo model loaded ({args.quant}-quantized).\n")
         else:
             print("Tiny random-weights demo model loaded.\n")
@@ -242,7 +249,8 @@ def main(argv=None) -> int:
     engine = InferenceEngine(
         model,
         InferenceArgs(sequence_length=args.seq_len, temperature=args.temperature,
-                      top_k=args.top_k, top_p=args.top_p),
+                      top_k=args.top_k, top_p=args.top_p,
+                      speculate_k=args.speculate),
         log_fn=live_log,
     )
 

@@ -111,9 +111,10 @@ def build_params_from_checkpoint(
     layer weight names plus 'tok_embeddings', 'norm', 'output', 'rope') so
     tensor-parallel loads place shards directly without a full replica.
     ``quant="int8"`` quantizes the matmul groups per-output-channel on the
-    host; norms/embeddings stay bf16.
+    host; ``quant="int4"`` packs group-wise nibbles (quant/int4.py);
+    norms/embeddings stay bf16.
     """
-    if quant not in (None, "int8"):
+    if quant not in (None, "int8", "int4"):
         raise ValueError(f"unsupported quant mode {quant!r}")
     validate_checkpoint(tensors, cfg)
     log = get_logger()
@@ -129,6 +130,11 @@ def build_params_from_checkpoint(
 
             q, scale = _host_quantize_int8(host)
             return QTensor(q=put(key, q), scale=jnp.asarray(scale))
+        if quant == "int4" and not key.endswith("norm"):
+            from llama_nuts_and_bolts_tpu.quant import Q4Tensor, host_quantize_q4
+
+            packed, scale = host_quantize_q4(host)
+            return Q4Tensor(packed=put(key, packed), scale=jnp.asarray(scale))
         return put(key, host)
 
     layers: Dict[str, jnp.ndarray] = {}

@@ -59,17 +59,50 @@ def param_sharding_fn(mesh: Mesh):
     return fn
 
 
+def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Replicate any spec axis whose dim isn't divisible by the mesh axis
+    (e.g. few int4 scale groups on a wide tp mesh)."""
+    fitted = [ax if ax is None or shape[i] % mesh.shape[ax] == 0 else None
+              for i, ax in enumerate(spec)]
+    return P(*fitted)
+
+
+def _put_weight(value, spec: P, mesh: Mesh):
+    """device_put a weight leaf that may be quantized.
+
+    Quantized scales follow the value tensor's spec: int4 group scales
+    ``[..., out, groups]`` have the value's rank (groups split with the
+    contraction dim); int8 per-channel scales ``[..., out]`` drop the
+    contraction axis of the spec.
+    """
+    s = NamedSharding(mesh, spec)
+    if hasattr(value, "packed"):          # Q4Tensor: grouped layout
+        # logical spec (*lead, out_axis, in_axis) → packed [*lead, G, out, K/2]
+        # puts the contraction axis on G and the out axis on rows
+        lead, s_out, s_in = spec[:-2], spec[-2], spec[-1]
+        p_spec = _fit_spec(P(*lead, s_in, s_out, None), value.packed.shape, mesh)
+        sc_spec = _fit_spec(P(*lead, s_in, s_out), value.scale.shape, mesh)
+        return type(value)(packed=jax.device_put(value.packed, NamedSharding(mesh, p_spec)),
+                           scale=jax.device_put(value.scale, NamedSharding(mesh, sc_spec)))
+    if hasattr(value, "q"):               # QTensor
+        s_scale = NamedSharding(mesh, P(*spec[:-1]))
+        return type(value)(q=jax.device_put(value.q, s),
+                           scale=jax.device_put(value.scale, s_scale))
+    return jax.device_put(value, s)
+
+
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
-    """Reshard an already-materialized params pytree onto the mesh."""
-    fn = param_sharding_fn(mesh)
-    layers = {k: jax.device_put(v, fn(k)) for k, v in params.layers.items()}
+    """Reshard an already-materialized (possibly quantized) params pytree."""
+    layers = {k: _put_weight(v, LAYER_SPECS[k], mesh)
+              for k, v in params.layers.items()}
     return LlamaParams(
-        tok_embeddings=jax.device_put(params.tok_embeddings, fn("tok_embeddings")),
+        tok_embeddings=jax.device_put(
+            params.tok_embeddings, NamedSharding(mesh, TOP_SPECS["tok_embeddings"])),
         layers=layers,
-        norm=jax.device_put(params.norm, fn("norm")),
-        output=jax.device_put(params.output, fn("output")),
-        rope_cos=jax.device_put(params.rope_cos, fn("rope")),
-        rope_sin=jax.device_put(params.rope_sin, fn("rope")),
+        norm=jax.device_put(params.norm, NamedSharding(mesh, TOP_SPECS["norm"])),
+        output=_put_weight(params.output, TOP_SPECS["output"], mesh),
+        rope_cos=jax.device_put(params.rope_cos, NamedSharding(mesh, TOP_SPECS["rope"])),
+        rope_sin=jax.device_put(params.rope_sin, NamedSharding(mesh, TOP_SPECS["rope"])),
     )
 
 

@@ -43,6 +43,12 @@ def decode_block(
     if stop_ids is None:
         stop_ids = jnp.asarray([-1], jnp.int32)
 
+    # int4 params: unpack to native int4 ONCE, amortized over the whole block
+    # (inside this jit — int4 can't cross the jit boundary on axon)
+    from llama_nuts_and_bolts_tpu.quant.int4 import nativize_q4
+
+    params = nativize_q4(params)
+
     tokens0 = jnp.zeros((B, max_new_tokens), jnp.int32)
     tokens0 = lax.dynamic_update_slice(tokens0, first_token, (0, 0))
     stopped0 = jnp.isin(first_token[:, 0], stop_ids)

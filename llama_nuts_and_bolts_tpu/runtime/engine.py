@@ -30,6 +30,10 @@ from llama_nuts_and_bolts_tpu.runtime.detokenizer import (
     token_batch_to_string,
     token_to_string,
 )
+from llama_nuts_and_bolts_tpu.runtime.speculative import (
+    NgramProposer,
+    longest_accepted_prefix,
+)
 from llama_nuts_and_bolts_tpu.runtime.types import (
     DecodingContext,
     GeneratedPart,
@@ -105,10 +109,8 @@ class InferenceEngine:
             tok = jnp.argmax(logits_row, axis=-1)
         return int(tok)
 
-    def generate_tokens(
-        self, prompt_tokens: Sequence[int]
-    ) -> Iterator[Tuple[GenerationState, int]]:
-        """Greedy/sampled autoregressive generation, one token per yield."""
+    def _prefill(self, prompt_tokens: Sequence[int]) -> Tuple[jnp.ndarray, KVCache]:
+        """Bucketed-padded prefill; returns logits at the last prompt row."""
         cfg = self.model.cfg
         prompt_len = len(prompt_tokens)
         if prompt_len >= self.seq_len:
@@ -116,16 +118,26 @@ class InferenceEngine:
                 f"context sequence length {self.seq_len} must be higher than "
                 f"prompt tokens length {prompt_len}"
             )
-        vocab = self.model.vocab
         cache = KVCache.create(cfg, 1, self.seq_len)
-
         bucket = prefill_bucket(prompt_len, self.seq_len)
         padded = np.zeros((1, bucket), dtype=np.int32)
         padded[0, :prompt_len] = prompt_tokens
         self.log("Running prefill: prompt_len=%d bucket=%d", prompt_len, bucket)
-        logits, cache = self._fwd(self.model.params, cfg, jnp.asarray(padded), 0,
-                                  cache, attn_impl=self._attn_impl(bucket),
-                                  logits_at=prompt_len - 1)
+        return self._fwd(self.model.params, cfg, jnp.asarray(padded), 0,
+                         cache, attn_impl=self._attn_impl(bucket),
+                         logits_at=prompt_len - 1)
+
+    def generate_tokens(
+        self, prompt_tokens: Sequence[int]
+    ) -> Iterator[Tuple[GenerationState, int]]:
+        """Greedy/sampled autoregressive generation, one token per yield."""
+        if self.args.speculate_k > 0 and self.args.temperature == 0.0:
+            yield from self._generate_tokens_speculative(prompt_tokens)
+            return
+        cfg = self.model.cfg
+        prompt_len = len(prompt_tokens)
+        vocab = self.model.vocab
+        logits, cache = self._prefill(prompt_tokens)
         next_token = self._select_token(logits[0, 0])
 
         cur_pos = prompt_len
@@ -142,6 +154,65 @@ class InferenceEngine:
                                       cache, attn_impl=self._attn_impl(1))
             next_token = self._select_token(logits[0, -1])
             cur_pos += 1
+
+    def _generate_tokens_speculative(
+        self, prompt_tokens: Sequence[int]
+    ) -> Iterator[Tuple[GenerationState, int]]:
+        """Greedy decode with n-gram prompt-lookup speculation.
+
+        Each device step verifies the just-emitted token plus up to ``k``
+        drafts in one forward (S=k+1 — same weight bytes as S=1, so accepted
+        drafts are nearly free). Emits exactly the vanilla greedy sequence:
+        a draft is only emitted when it equals the model's own argmax.
+        Cache-staleness note: rejected/padded rows write K/V at positions
+        beyond the accepted point; those slots are invisible to later queries
+        (col > row position) until the real token at that position is
+        consumed and overwrites them.
+        """
+        cfg = self.model.cfg
+        vocab = self.model.vocab
+        k = self.args.speculate_k
+        logits, cache = self._prefill(prompt_tokens)
+        queue = [int(jnp.argmax(logits[0, 0]))]
+        proposer = NgramProposer(list(prompt_tokens))
+        self.spec_stats = {"steps": 0, "spec_steps": 0, "drafted": 0, "accepted": 0}
+        n_ctx = len(prompt_tokens)
+
+        while True:
+            tok = queue.pop(0)
+            if vocab.is_stop(tok):
+                yield GenerationState.FINISHED_BY_REACHING_EOS, tok
+                return
+            if n_ctx + 1 >= self.seq_len:
+                yield GenerationState.FINISHED_BY_REACHING_SEQ_LEN, tok
+                return
+            yield GenerationState.IN_PROGRESS, tok
+            proposer.extend([tok])
+            n_ctx += 1
+            if queue:
+                continue
+
+            start = n_ctx - 1                 # the emitted token's position
+            self.spec_stats["steps"] += 1
+            drafts = proposer.propose(k) if n_ctx + k <= self.seq_len else []
+            if drafts:
+                real = len(drafts)
+                step = jnp.asarray(
+                    [[tok] + drafts + [drafts[-1]] * (k - real)], dtype=jnp.int32)
+                logits, cache = self._fwd(self.model.params, cfg, step, start,
+                                          cache, attn_impl=self._attn_impl(1))
+                preds = np.asarray(jnp.argmax(logits[0], axis=-1))
+                n_acc = longest_accepted_prefix(drafts, preds[:real].tolist())
+                self.spec_stats["spec_steps"] += 1
+                self.spec_stats["drafted"] += real
+                self.spec_stats["accepted"] += n_acc
+                queue.extend(drafts[:n_acc])
+                queue.append(int(preds[n_acc]))
+            else:
+                step = jnp.asarray([[tok]], dtype=jnp.int32)
+                logits, cache = self._fwd(self.model.params, cfg, step, start,
+                                          cache, attn_impl=self._attn_impl(1))
+                queue.append(int(jnp.argmax(logits[0, -1])))
 
     # ---------------------------------------------------------- streaming
 

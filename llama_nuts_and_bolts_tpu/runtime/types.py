@@ -61,6 +61,9 @@ class InferenceArgs:
     top_p: float = 1.0
     seed: int = 0
     attn_impl: str = "auto"  # "auto" | "xla" | "flash" (Pallas fused kernel)
+    # n-gram prompt-lookup speculative decoding: verify up to k drafts per
+    # step (greedy only — exact-equivalence; 0 disables)
+    speculate_k: int = 0
 
 
 @dataclass

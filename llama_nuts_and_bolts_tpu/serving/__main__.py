@@ -17,6 +17,9 @@ def main(argv=None) -> int:
                    help="serve the tiny random demo model (no weights needed)")
     args = p.parse_args(argv)
 
+    from llama_nuts_and_bolts_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     if args.tiny:
         from llama_nuts_and_bolts_tpu.cli.main import load_tiny_model
 

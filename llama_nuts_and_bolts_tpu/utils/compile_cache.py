@@ -1,0 +1,35 @@
+"""Persistent XLA compilation cache.
+
+The reference pays no compile cost (Go, interpreted math); a jitted TPU
+framework pays it once per program shape. Pointing JAX's persistent
+compilation cache at a repo-local directory makes every entry point
+(CLI, server, bench) reuse compiled executables across processes, cutting
+cold TTFT from tens of seconds to well under a second for warm shapes.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache",
+)
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str:
+    """Enable JAX's on-disk compilation cache (idempotent). Returns the dir.
+
+    Set ``LNB_TPU_NO_COMPILE_CACHE=1`` to disable (e.g. read-only deploys).
+    """
+    import jax
+
+    if os.environ.get("LNB_TPU_NO_COMPILE_CACHE"):
+        return ""
+    path = cache_dir or os.environ.get("LNB_TPU_COMPILE_CACHE", _DEFAULT_DIR)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything that took a nontrivial compile; entries are content-
+    # addressed so stale ones are simply never hit again
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path

@@ -108,4 +108,4 @@ def test_loader_rejects_unknown_quant():
 
     with pytest.raises(ValueError):
         build_params_from_checkpoint(
-            to_host_tensors(make_torch_weights(CFG)), CFG, quant="int4")
+            to_host_tensors(make_torch_weights(CFG)), CFG, quant="fp8")

@@ -139,3 +139,21 @@ def test_sequence_parallel_prefill_matches(params):
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_array_equal(
         np.asarray(got).argmax(-1), np.asarray(ref).argmax(-1))
+
+
+def test_tp_quantized_forward_matches(params):
+    """int8 and int4 weight pytrees shard onto the tp mesh (value tensors by
+    out/in dim, scales following) and reproduce their single-device logits."""
+    from llama_nuts_and_bolts_tpu.quant import quantize_params, quantize_params_q4
+
+    tokens = jnp.asarray([[3, 14, 15, 92]], dtype=jnp.int32)
+    mesh = make_mesh(tp=4, dp=1)
+    for qfn in (quantize_params, quantize_params_q4):
+        qp = qfn(params)
+        ref, _ = FWD(qp, CFG, tokens, 0, KVCache.create(CFG, 1, 32))
+        sp = shard_params(qp, mesh)
+        sc = shard_cache(KVCache.create(CFG, 1, 32), mesh)
+        st = jax.device_put(tokens, token_sharding(mesh))
+        got, _ = FWD(sp, CFG, st, 0, sc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
