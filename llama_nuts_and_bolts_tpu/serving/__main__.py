@@ -15,6 +15,10 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--tiny", action="store_true",
                    help="serve the tiny random demo model (no weights needed)")
+    p.add_argument("--quant", choices=["none", "int8", "int4"], default="none",
+                   help="weight-only quantization (fits full 8B on one chip)")
+    p.add_argument("--speculate", type=int, default=0, metavar="K",
+                   help="n-gram prompt-lookup speculative decoding (greedy only)")
     args = p.parse_args(argv)
 
     from llama_nuts_and_bolts_tpu.utils.compile_cache import enable_persistent_cache
@@ -24,16 +28,23 @@ def main(argv=None) -> int:
         from llama_nuts_and_bolts_tpu.cli.main import load_tiny_model
 
         model = load_tiny_model()
+        if args.quant != "none":
+            from llama_nuts_and_bolts_tpu.quant import quantize_params, quantize_params_q4
+
+            qfn = quantize_params_q4 if args.quant == "int4" else quantize_params
+            model.params = qfn(model.params)
         name = "tiny-random"
     else:
         from llama_nuts_and_bolts_tpu.cli.main import discover_model_dir
         from llama_nuts_and_bolts_tpu.models.llama.loader import load_llama_model
 
         model_dir = discover_model_dir(args.model_dir)
-        model = load_llama_model(model_dir, max_sequence_length=args.seq_len)
+        model = load_llama_model(model_dir, max_sequence_length=args.seq_len,
+                                 quant=None if args.quant == "none" else args.quant)
         name = "llama-3.1-8b-instruct"
 
-    engine = InferenceEngine(model, InferenceArgs(sequence_length=args.seq_len))
+    engine = InferenceEngine(model, InferenceArgs(sequence_length=args.seq_len,
+                                                  speculate_k=args.speculate))
     serve(engine, args.host, args.port, name)
     return 0
 
