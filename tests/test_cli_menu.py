@@ -63,3 +63,6 @@ def test_parse_args_defaults():
     assert args.seq_len == 200 and args.quant == "none" and not args.tiny
     args = parse_args(["--tiny", "--quant", "int8", "--prompt", "3"])
     assert args.tiny and args.quant == "int8" and args.prompt == 3
+    assert args.speculate == 0
+    args = parse_args(["--quant", "int4", "--speculate", "4"])
+    assert args.quant == "int4" and args.speculate == 4
