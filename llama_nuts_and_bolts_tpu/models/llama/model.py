@@ -78,11 +78,21 @@ def attention_mask(seq_len: int, cache_len: int, start_pos) -> jnp.ndarray:
     return jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)
 
 
+def attention_mask_per_row(seq_len: int, cache_len: int,
+                           start_pos: jnp.ndarray) -> jnp.ndarray:
+    """Per-row variant for vector ``start_pos[B]`` (continuous batching):
+    [B, seq_len, cache_len], row b sees cache slot t iff t <= start_pos[b]+s."""
+    rows = lax.broadcasted_iota(jnp.int32, (1, seq_len, cache_len), 1)
+    cols = lax.broadcasted_iota(jnp.int32, (1, seq_len, cache_len), 2)
+    visible = cols <= rows + start_pos[:, None, None]
+    return jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)
+
+
 def forward(
     params: LlamaParams,
     cfg: ModelArgs,
     tokens: jnp.ndarray,      # int32 [B, S]
-    start_pos,                # traced int32 scalar
+    start_pos,                # traced int32 scalar, or [B] vector (per-row)
     cache: KVCache,
     attn_impl: str = "xla",   # "xla" | "flash" (Pallas fused kernel)
     logits_at=None,           # traced row index: project only this position
@@ -93,17 +103,33 @@ def forward(
     ``logits_at`` is given, only that sequence position is projected through
     the vocab head (returns ``[B, 1, vocab]``) — prefill only ever consumes
     one row, and the full-S projection is ~9% of prefill FLOPs at S=1024.
+
+    ``start_pos`` may be a [B] vector: every batch row runs at its own
+    position (continuous batching, runtime/continuous.py) — RoPE rows are
+    gathered per row, the mask is per-row, and cache updates land at per-row
+    offsets. Vector mode requires the XLA attention path.
     """
     B, S = tokens.shape
     H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
     T = cache.max_seq
+    per_row = getattr(start_pos, "ndim", 0) == 1
+    if per_row and attn_impl != "xla":
+        raise ValueError("vector start_pos requires attn_impl='xla'")
 
     x = jnp.take(params.tok_embeddings, tokens, axis=0)          # [B,S,dim] bf16
-    cos = lax.dynamic_slice_in_dim(params.rope_cos, start_pos, S, 0)
-    sin = lax.dynamic_slice_in_dim(params.rope_sin, start_pos, S, 0)
+    if per_row:
+        pos = start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+        cos = jnp.take(params.rope_cos, pos, axis=0)              # [B,S,D/2]
+        sin = jnp.take(params.rope_sin, pos, axis=0)
+    else:
+        cos = lax.dynamic_slice_in_dim(params.rope_cos, start_pos, S, 0)
+        sin = lax.dynamic_slice_in_dim(params.rope_sin, start_pos, S, 0)
     mask = None
     if attn_impl == "xla":
-        mask = attention_mask(S, T, start_pos)[None, :, :]        # [1,S,T]
+        if per_row:
+            mask = attention_mask_per_row(S, T, start_pos)        # [B,S,T]
+        else:
+            mask = attention_mask(S, T, start_pos)[None, :, :]    # [1,S,T]
 
     def attend(q, ck, cv):
         if attn_impl == "flash":
@@ -122,8 +148,13 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin).transpose(0, 2, 1, 3)         # [B,KV,S,D]
         v = v.transpose(0, 2, 1, 3)
-        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, start_pos, 0))
-        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, start_pos, 0))
+        if per_row:
+            upd = jax.vmap(lambda c, u, p: lax.dynamic_update_slice(c, u, (0, p, 0)))
+            ck = upd(ck, k.astype(ck.dtype), start_pos)
+            cv = upd(cv, v.astype(cv.dtype), start_pos)
+        else:
+            ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, start_pos, 0))
+            cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, start_pos, 0))
         att = attend(q, ck, cv)
         x = x + linear(att.reshape(B, S, H * D), w["wo"])
         h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)

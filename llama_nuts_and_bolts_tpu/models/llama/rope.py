@@ -69,7 +69,9 @@ def precompute_rope_tables(
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """Rotate ``x[B, S, H, D]`` by per-position tables ``cos/sin[S, D//2]``.
+    """Rotate ``x[B, S, H, D]`` by per-position tables ``cos/sin[S, D//2]``
+    (or per-row tables ``[B, S, D//2]`` — continuous batching gives every
+    batch row its own positions).
 
     The head dim is interpreted as interleaved complex pairs
     ``(x[2i], x[2i+1]) = (re, im)``; rotation happens in fp32 and the result
@@ -79,7 +81,11 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     B, S, H, D = x.shape
     x32 = x.astype(jnp.float32).reshape(B, S, H, D // 2, 2)
     re, im = x32[..., 0], x32[..., 1]
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
+    if cos.ndim == 3:                      # [B, S, D//2] per-row positions
+        c = cos[:, :, None, :]
+        s = sin[:, :, None, :]
+    else:                                  # [S, D//2] shared positions
+        c = cos[None, :, None, :]
+        s = sin[None, :, None, :]
     out = jnp.stack([re * c - im * s, re * s + im * c], axis=-1)
     return out.reshape(B, S, H, D).astype(x.dtype)

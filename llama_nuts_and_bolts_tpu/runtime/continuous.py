@@ -1,0 +1,205 @@
+"""Continuous batching: requests join and leave a shared decode loop.
+
+The production-serving scheduler the one-request-at-a-time reference never
+needed (its engine is strictly sequential, src/inference/inference.go:173):
+B cache SLOTS advance through ONE jitted decode step per iteration, each row
+at its OWN position (models/llama/model.py's vector ``start_pos``), so a new
+request admitted mid-flight immediately shares the step's weight reads with
+the requests already decoding — batch-1 decode is bandwidth-bound, so riding
+along is nearly free. TPU-first design notes:
+
+  * static shapes everywhere: the slot count and cache length are fixed at
+    construction; admission swaps a slot's contents, never reshapes anything
+    (one compiled prefill executable per prompt bucket, one decode step).
+  * prefill targets one slot: the slot's cache is carved out with a traced
+    dynamic slice on the batch axis and written back, so admitting never
+    recompiles and never copies other slots' state.
+  * free/finished slots keep stepping with a pad token; their cache writes
+    are harmless — a slot's garbage at position p is overwritten by the
+    forward that consumes the real token at p before any query row ≥ p runs
+    (the same staleness argument as speculative verification).
+
+Greedy-only (matching the reference's argmax decode); per-request sampling
+inside a shared batch would entangle RNG streams across requests.
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from llama_nuts_and_bolts_tpu.models.llama.model import KVCache, forward
+from llama_nuts_and_bolts_tpu.runtime.types import GenerationState
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))
+def _prefill_slot(params, cfg, tokens, logits_at, cache: KVCache, slot):
+    """Run prefill for one request inside slot ``slot`` of the shared cache.
+
+    ``tokens`` is [1, bucket] (padded); returns (first generated token [ ],
+    updated cache). One executable per bucket length; ``slot`` and
+    ``logits_at`` are traced."""
+    sub = KVCache(k=lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
+                  v=lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1))
+    logits, sub = forward(params, cfg, tokens, 0, sub, logits_at=logits_at)
+    cache = KVCache(k=lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1),
+                    v=lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1))
+    return jnp.argmax(logits[0, 0]).astype(jnp.int32), cache
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))
+def _decode_step(params, cfg, tokens, positions, cache: KVCache):
+    """One shared decode step: tokens [B,1] at per-row ``positions`` [B]."""
+    logits, cache = forward(params, cfg, tokens, positions, cache)
+    return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+
+@dataclass
+class Request:
+    """A submitted prompt and its streaming output queue."""
+
+    prompt: List[int]
+    max_new_tokens: int
+    out: "queue.Queue[Tuple[GenerationState, int]]" = field(
+        default_factory=queue.Queue)
+    slot: Optional[int] = None
+    produced: int = 0
+
+    def tokens(self, timeout: Optional[float] = None):
+        """Iterate (state, token_id) until the request finishes."""
+        while True:
+            state, tok = self.out.get(timeout=timeout)
+            yield state, tok
+            if state != GenerationState.IN_PROGRESS:
+                return
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching scheduler over one InferenceEngine.
+
+    ``step()`` advances the world by one iteration: admit waiting requests
+    into free slots (one prefill each), then run ONE batched decode step for
+    every active slot. Host-side bookkeeping is O(slots); device work is one
+    dispatch per admission plus one per step.
+    """
+
+    def __init__(self, engine, n_slots: int = 8):
+        self.engine = engine
+        self.cfg = engine.model.cfg
+        self.vocab = engine.model.vocab
+        self.n_slots = n_slots
+        self.seq_len = engine.seq_len
+        self.cache = KVCache.create(self.cfg, n_slots, self.seq_len)
+        self.slots: List[Optional[Request]] = [None] * n_slots
+        # per-slot feed token and position of that token (= next write pos)
+        self._feed = np.zeros(n_slots, dtype=np.int32)
+        self._pos = np.zeros(n_slots, dtype=np.int32)
+        self.pending: "queue.Queue[Request]" = queue.Queue()
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------- public
+
+    def submit(self, prompt_tokens: Sequence[int],
+               max_new_tokens: int = 1 << 30) -> Request:
+        prompt = list(prompt_tokens)
+        if not prompt or len(prompt) >= self.seq_len:
+            raise ValueError("prompt must be non-empty and shorter than context")
+        req = Request(prompt=prompt, max_new_tokens=max_new_tokens)
+        self.pending.put(req)
+        return req
+
+    @property
+    def has_work(self) -> bool:
+        return any(r is not None for r in self.slots) or not self.pending.empty()
+
+    def run_until_idle(self) -> None:
+        while self.has_work:
+            self.step()
+
+    # ------------------------------------------------------------ internal
+
+    def _admit(self) -> None:
+        from llama_nuts_and_bolts_tpu.runtime.engine import prefill_bucket
+
+        for slot in range(self.n_slots):
+            if self.slots[slot] is not None:
+                continue
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                return
+            plen = len(req.prompt)
+            bucket = prefill_bucket(plen, self.seq_len)
+            padded = np.zeros((1, bucket), dtype=np.int32)
+            padded[0, :plen] = req.prompt
+            first, self.cache = _prefill_slot(
+                self.engine.model.params, self.cfg, jnp.asarray(padded),
+                plen - 1, self.cache, slot)
+            req.slot = slot
+            self.slots[slot] = req
+            self._feed[slot] = int(first)
+            self._pos[slot] = plen
+            self._emit(slot, int(first))
+
+    def _emit(self, slot: int, tok: int) -> None:
+        """Classify + deliver one generated token for the request in ``slot``
+        (same stop rules as the sequential engine loop)."""
+        req = self.slots[slot]
+        req.produced += 1
+        state = GenerationState.IN_PROGRESS
+        if self.vocab.is_stop(tok):
+            state = GenerationState.FINISHED_BY_REACHING_EOS
+        elif int(self._pos[slot]) + 1 >= self.seq_len:
+            state = GenerationState.FINISHED_BY_REACHING_SEQ_LEN
+        elif req.produced >= req.max_new_tokens:
+            state = GenerationState.FINISHED_BY_REACHING_SEQ_LEN
+        req.out.put((state, tok))
+        if state != GenerationState.IN_PROGRESS:
+            # free the slot; while free it keeps stepping with a pad token —
+            # garbage writes are provably overwritten by the next occupant
+            # before any of its query rows can attend them
+            self.slots[slot] = None
+            self._feed[slot] = 0
+
+    def step(self) -> None:
+        with self._lock:
+            self._admit()
+            if not any(r is not None for r in self.slots):
+                return
+            toks = jnp.asarray(self._feed[:, None])
+            poss = jnp.asarray(self._pos)
+            nxt, self.cache = _decode_step(
+                self.engine.model.params, self.cfg, toks, poss, self.cache)
+            nxt = np.asarray(nxt)
+            for slot in range(self.n_slots):
+                active = self.slots[slot] is not None
+                self._pos[slot] = min(int(self._pos[slot]) + 1, self.seq_len - 1)
+                if active:
+                    self._feed[slot] = int(nxt[slot])
+                    self._emit(slot, int(nxt[slot]))
+
+    # -------------------------------------------------------- serving glue
+
+    def serve_forever_in_thread(self) -> threading.Thread:
+        """Background scheduler thread for the HTTP server: steps whenever
+        there is work, sleeps briefly when idle."""
+        import time
+
+        def loop():
+            while True:
+                if self.has_work:
+                    self.step()
+                else:
+                    time.sleep(0.002)
+
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+        return t

@@ -19,6 +19,9 @@ def main(argv=None) -> int:
                    help="weight-only quantization (fits full 8B on one chip)")
     p.add_argument("--speculate", type=int, default=0, metavar="K",
                    help="n-gram prompt-lookup speculative decoding (greedy only)")
+    p.add_argument("--continuous", type=int, default=0, metavar="SLOTS",
+                   help="continuous batching: greedy requests share decode "
+                        "steps across SLOTS cache slots (0 disables)")
     args = p.parse_args(argv)
 
     from llama_nuts_and_bolts_tpu.utils.compile_cache import enable_persistent_cache
@@ -45,7 +48,7 @@ def main(argv=None) -> int:
 
     engine = InferenceEngine(model, InferenceArgs(sequence_length=args.seq_len,
                                                   speculate_k=args.speculate))
-    serve(engine, args.host, args.port, name)
+    serve(engine, args.host, args.port, name, continuous_slots=args.continuous)
     return 0
 
 

@@ -15,9 +15,11 @@ objects; the token stream rides the same generator the CLI consumes, so the
 UTF-8/emoji-safe detokenizer semantics apply (byte-fallback fragments are
 held until codepoints complete).
 
-Generations are serialized with a lock (single-sequence engine; batched
-serving rides runtime/batch.py and a scheduler is future work). Each request
-gets its own KV cache; weights are shared.
+Concurrency: with ``continuous_slots > 0`` greedy requests share a
+continuous-batching scheduler (runtime/continuous.py) — concurrent requests
+ride the SAME decode steps, each in its own cache slot, joining and leaving
+mid-flight. Sampled requests (temperature > 0) and the default configuration
+serialize on a lock with a per-request cache instead.
 """
 
 from __future__ import annotations
@@ -36,11 +38,18 @@ from llama_nuts_and_bolts_tpu.utils.logging import get_logger
 
 
 class LlamaHTTPServer:
-    def __init__(self, engine: InferenceEngine, model_name: str = "llama-3.1-8b-instruct"):
+    def __init__(self, engine: InferenceEngine, model_name: str = "llama-3.1-8b-instruct",
+                 continuous_slots: int = 0):
         self.engine = engine
         self.model_name = model_name
         self._gen_lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
+        self.batcher = None
+        if continuous_slots > 0:
+            from llama_nuts_and_bolts_tpu.runtime.continuous import ContinuousBatcher
+
+            self.batcher = ContinuousBatcher(engine, n_slots=continuous_slots)
+            self.batcher.serve_forever_in_thread()
 
     # ------------------------------------------------------------ requests
 
@@ -57,12 +66,21 @@ class LlamaHTTPServer:
         return self.engine.tokenize(parts)
 
     def generate_block(self, tokens, max_tokens: int):
-        """Non-streaming greedy path: the whole decode loop runs on device
-        (runtime/device_loop.py) — one dispatch instead of one per token."""
-        from llama_nuts_and_bolts_tpu.runtime.device_loop import generate_block
+        """Non-streaming greedy path. With the continuous batcher, requests
+        share decode steps; otherwise the whole loop runs on device in one
+        dispatch (runtime/device_loop.py)."""
+        if self.batcher is not None:
+            req = self.batcher.submit(tokens, max_new_tokens=max_tokens)
+            ids, finish = [], "length"
+            for state, tok in req.tokens(timeout=120):
+                ids.append(tok)
+                if state == GenerationState.FINISHED_BY_REACHING_EOS:
+                    finish = "stop"
+        else:
+            from llama_nuts_and_bolts_tpu.runtime.device_loop import generate_block
 
-        with self._gen_lock:
-            ids, finish = generate_block(self.engine, list(tokens), max_tokens)
+            with self._gen_lock:
+                ids, finish = generate_block(self.engine, list(tokens), max_tokens)
         # strip the stop token from the rendered text like the streaming path
         if finish == "stop":
             ids = ids[:-1]
@@ -70,7 +88,28 @@ class LlamaHTTPServer:
         return text, finish, len(ids)
 
     def generate(self, tokens, max_tokens: int, temperature: float):
-        """Serialized generation; yields (text_piece, finish_reason|None)."""
+        """Generation; yields (text_piece, finish_reason|None).
+
+        Greedy requests ride the continuous batcher when enabled (concurrent
+        requests share decode steps); otherwise generations serialize."""
+        if self.batcher is not None and temperature == 0.0:
+            req = self.batcher.submit(tokens, max_new_tokens=max_tokens)
+            for part in self.engine._generate_string(req.tokens(timeout=120)):
+                if part.added_to_waiting:
+                    continue
+                finish = None
+                if part.generation_state == GenerationState.FINISHED_BY_REACHING_EOS:
+                    finish = "stop"
+                elif part.generation_state == GenerationState.FINISHED_BY_REACHING_SEQ_LEN:
+                    finish = "length"
+                text = part.decoded_string
+                if finish == "stop" and self.engine.model.vocab.is_stop(part.token_id):
+                    text = ""
+                yield text, finish
+                if finish is not None:
+                    return
+            yield "", "length"
+            return
         with self._gen_lock:
             old_temp = self.engine.args.temperature
             self.engine.args.temperature = temperature
@@ -242,5 +281,6 @@ class LlamaHTTPServer:
 
 
 def serve(engine: InferenceEngine, host: str = "0.0.0.0", port: int = 8000,
-          model_name: str = "llama-3.1-8b-instruct"):
-    LlamaHTTPServer(engine, model_name).serve_forever(host, port)
+          model_name: str = "llama-3.1-8b-instruct", continuous_slots: int = 0):
+    LlamaHTTPServer(engine, model_name,
+                    continuous_slots=continuous_slots).serve_forever(host, port)

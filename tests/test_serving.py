@@ -90,3 +90,37 @@ def test_max_tokens_respected(server):
                         {"prompt": "abc", "max_tokens": 3})
     assert status == 200
     assert body["usage"]["completion_tokens"] <= 4  # +1 possible resend flush
+
+
+def test_continuous_mode_concurrent_requests_match_serialized():
+    """--continuous mode: concurrent greedy requests share decode steps and
+    return exactly what the serialized server returns."""
+    import threading
+
+    eng = make_engine(sequence_length=32)
+    srv_serial = LlamaHTTPServer(make_engine(sequence_length=32), model_name="t")
+    port_serial = srv_serial.start_background()
+    srv_cont = LlamaHTTPServer(eng, model_name="t", continuous_slots=4)
+    port_cont = srv_cont.start_background()
+    try:
+        prompts = ["hello world", "Hi", "hello hello hello"]
+        expected = {}
+        for p in prompts:
+            _, body = post(f"http://127.0.0.1:{port_serial}/v1/completions",
+                           {"prompt": p, "max_tokens": 8})
+            expected[p] = body["choices"][0]["text"]
+
+        results = {}
+        def fetch(p):
+            _, body = post(f"http://127.0.0.1:{port_cont}/v1/completions",
+                           {"prompt": p, "max_tokens": 8})
+            results[p] = body["choices"][0]["text"]
+        threads = [threading.Thread(target=fetch, args=(p,)) for p in prompts]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert results == expected
+    finally:
+        srv_serial.shutdown()
+        srv_cont.shutdown()
