@@ -66,8 +66,11 @@ def device_budget() -> int:
 
 def sync(x) -> None:
     """Force completion: block_until_ready is a no-op on the axon tunnel
-    backend, so fetch one element to the host instead."""
-    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+    backend, so fetch ONE element to the host instead. The slice must happen
+    ON DEVICE (``.ravel()[:1]`` before ``np.asarray``) — converting the whole
+    leaf ships gigabytes through the ~8 MB/s tunnel."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[:1])
 
 
 RESULTS = {}

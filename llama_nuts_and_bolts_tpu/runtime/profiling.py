@@ -35,8 +35,10 @@ from llama_nuts_and_bolts_tpu.utils.logging import get_logger
 
 
 def _sync(x) -> None:
-    """Force completion; block_until_ready is unreliable on tunnel backends."""
-    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+    """Force completion; block_until_ready is unreliable on tunnel backends.
+    Slice ON DEVICE before np.asarray — converting a whole leaf would ship
+    the entire buffer through the tunnel."""
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
 
 @contextlib.contextmanager

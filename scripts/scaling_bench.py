@@ -23,7 +23,7 @@ from jax import lax
 
 
 def sync(x):
-    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
 
 def main() -> None:
