@@ -196,6 +196,47 @@ def main() -> None:
         except Exception:
             pass
 
+    # 8K long-context decode (BASELINE config #3): same weights, scaled-RoPE
+    # tables extended to 16K positions, decode steps attending a nearly-full
+    # 8192-slot cache — measures the deep-cache read + mask cost
+    if time.perf_counter() - BENCH_T0 < 420:
+        try:
+            import dataclasses
+
+            cfg_8k = dataclasses.replace(cfg, max_sequence_length=8192)
+            from llama_nuts_and_bolts_tpu.models.llama.rope import precompute_rope_tables
+
+            cos8k, sin8k = precompute_rope_tables(
+                cfg.head_dim, 2 * 8192, cfg.rope_theta, cfg.use_scaled_rope)
+            params8k = dataclasses.replace(
+                params, rope_cos=jnp.asarray(cos8k), rope_sin=jnp.asarray(sin8k))
+
+            def decode_8k(params, cache, tok, start_pos):
+                def body(carry, _):
+                    tok, pos, cache = carry
+                    logits, cache = forward(params, cfg_8k, tok, pos, cache)
+                    nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                    return (nxt, pos + 1, cache), nxt[:, 0]
+
+                (tok, pos, cache), toks = lax.scan(
+                    body, (tok, start_pos, cache), None, length=DECODE_STEPS)
+                return toks, cache
+
+            d8k = jax.jit(decode_8k, donate_argnums=(1,))
+            kcache = KVCache.create(cfg_8k, 1, 8192)
+            kt = jnp.ones((1, 1), jnp.int32)
+            toks_k, kcache = d8k(params8k, kcache, kt, 8192 - DECODE_STEPS - 2)
+            sync(toks_k)  # compile
+            kcache = KVCache.create(cfg_8k, 1, 8192)
+            t0 = time.perf_counter()
+            toks_k, kcache = d8k(params8k, kcache, kt, 8192 - DECODE_STEPS - 2)
+            sync(toks_k)
+            RESULTS["detail"]["decode_8k_context_tokens_per_s"] = round(
+                DECODE_STEPS / (time.perf_counter() - t0), 2)
+            del params8k, kcache
+        except Exception:
+            pass
+
     # free the bf16 24L params (12.6 GB) before the full-8B quantized sections
     del params
     cfg8 = ModelArgs(

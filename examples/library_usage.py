@@ -49,6 +49,34 @@ def main():
     _, text = engine.token_batch_to_string(ids)
     print(f"block ({finish}): {text!r}")
 
+    extras(engine)
+
+
+
+
+
+def extras(engine):
+    """Optional demos: speculative decoding + continuous batching."""
+    # 4. speculative greedy decode (exact same tokens, fewer device steps)
+    import dataclasses
+
+    spec_engine = InferenceEngine(engine.model,
+                                  dataclasses.replace(engine.args, speculate_k=4))
+    toks = spec_engine.tokenize_string("one two three one two three one two")
+    out = [t for _, t in spec_engine.generate_tokens([1] + toks)]
+    print(f"speculative: {len(out)} tokens in {spec_engine.spec_stats['steps']} steps "
+          f"({spec_engine.spec_stats['accepted']} drafts accepted)")
+
+    # 5. continuous batching: concurrent requests share decode steps
+    from llama_nuts_and_bolts_tpu.runtime.continuous import ContinuousBatcher
+
+    cb = ContinuousBatcher(engine, n_slots=4)
+    reqs = [cb.submit([1] + engine.tokenize_string(p), max_new_tokens=16)
+            for p in ("hello", "Hi there", "hello hello")]
+    cb.run_until_idle()
+    for r in reqs:
+        ids = [t for _, t in r.tokens()]
+        print(f"continuous: slotted request produced {len(ids)} tokens")
 
 if __name__ == "__main__":
     main()
