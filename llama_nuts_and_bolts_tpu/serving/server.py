@@ -155,8 +155,16 @@ class LlamaHTTPServer:
 
             def do_GET(self):
                 if self.path == "/health":
-                    self._json(200, {"status": "ok", "model": server_self.model_name,
-                                     "model_type": server_self.engine.model.cfg.model_type})
+                    info = {"status": "ok", "model": server_self.model_name,
+                            "model_type": server_self.engine.model.cfg.model_type}
+                    if server_self.batcher is not None:
+                        b = server_self.batcher
+                        info["continuous"] = {
+                            "slots": b.n_slots,
+                            "active": sum(r is not None for r in b.slots),
+                            "pending": b.pending.qsize(),
+                        }
+                    self._json(200, info)
                 elif self.path == "/v1/models":
                     self._json(200, {"object": "list", "data": [
                         {"id": server_self.model_name, "object": "model"}]})

@@ -157,3 +157,28 @@ def test_tp_quantized_forward_matches(params):
         got, _ = FWD(sp, CFG, st, 0, sc)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_tp_nativized_int4_decode(params):
+    """The native-int4 batched-group dot path is pure XLA, so GSPMD must
+    partition it under tp like any dense dot (block decode loops use this)."""
+    import functools
+
+    from llama_nuts_and_bolts_tpu.quant import nativize_q4, quantize_params_q4
+
+    qp = quantize_params_q4(params)
+    mesh = make_mesh(tp=4, dp=1)
+    sp = shard_params(qp, mesh)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def step(params, cfg, tok, pos, cache):
+        params = nativize_q4(params)
+        logits, cache = forward(params, cfg, tok, pos, cache)
+        return jnp.argmax(logits[:, -1], -1), cache
+
+    ref_cache = KVCache.create(CFG, 1, 16)
+    got_cache = shard_cache(KVCache.create(CFG, 1, 16), mesh)
+    tok = jnp.asarray([[5]], jnp.int32)
+    ref, _ = step(qp, CFG, tok, 0, ref_cache)
+    got, _ = step(sp, CFG, tok, 0, got_cache)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
