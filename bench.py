@@ -279,7 +279,48 @@ def main() -> None:
         sync(toks_q4)
         q4_toks_per_s = DECODE_STEPS / (time.perf_counter() - t0)
         RESULTS["detail"]["full_8b_32L_int4_decode_tokens_per_s"] = round(q4_toks_per_s, 2)
-        del q4params, q4cache
+        del q4cache
+
+        # production long-context config: full 8B, 8K context, ONE chip —
+        # int4 weights + int8 KV cache + the Pallas flash-decode kernel
+        if time.perf_counter() - BENCH_T0 < 440:
+            import dataclasses
+
+            from llama_nuts_and_bolts_tpu.models.llama.rope import precompute_rope_tables
+
+            cfg8k = dataclasses.replace(cfg8, max_sequence_length=8192)
+            cos8, sin8 = precompute_rope_tables(
+                cfg8.head_dim, 2 * 8192, cfg8.rope_theta, cfg8.use_scaled_rope)
+            q4p8k = dataclasses.replace(
+                q4params, rope_cos=jnp.asarray(cos8), rope_sin=jnp.asarray(sin8))
+
+            def decode_q4_8k(params, cache, tok, start_pos):
+                params = nativize_q4(params)
+
+                def body(carry, _):
+                    tok, pos, cache = carry
+                    logits, cache = forward(params, cfg8k, tok, pos, cache,
+                                            attn_impl="flash")
+                    nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                    return (nxt, pos + 1, cache), nxt[:, 0]
+
+                (tok, pos, cache), toks = lax.scan(
+                    body, (tok, start_pos, cache), None, length=DECODE_STEPS)
+                return toks, cache
+
+            d48 = jax.jit(decode_q4_8k, donate_argnums=(1,))
+            kc = KVCache.create(cfg8k, 1, 8192, dtype=jnp.int8)
+            start = 8192 - DECODE_STEPS - 2
+            toks48, kc = d48(q4p8k, kc, jnp.ones((1, 1), jnp.int32), start)
+            sync(toks48)
+            kc = KVCache.create(cfg8k, 1, 8192, dtype=jnp.int8)
+            t0 = time.perf_counter()
+            toks48, kc = d48(q4p8k, kc, jnp.ones((1, 1), jnp.int32), start)
+            sync(toks48)
+            RESULTS["detail"]["full_8b_8k_ctx_int4w_int8kv_tokens_per_s"] = round(
+                DECODE_STEPS / (time.perf_counter() - t0), 2)
+            del q4p8k, kc
+        del q4params
     except Exception:
         pass
 

@@ -74,6 +74,9 @@ def parse_args(argv=None):
     p.add_argument("--quant", choices=["none", "int8", "int4"], default="none",
                    help="weight-only quantization (int8/int4 fit full 8B on one v5e chip; "
                         "int4 roughly doubles int8's decode roofline)")
+    p.add_argument("--kv-cache", choices=["bf16", "int8"], default="bf16",
+                   help="KV cache dtype (int8 halves cache traffic and "
+                        "doubles the context that fits)")
     p.add_argument("--speculate", type=int, default=0, metavar="K",
                    help="n-gram prompt-lookup speculative decoding: verify up "
                         "to K drafts per step (greedy only; 0 disables)")
@@ -250,7 +253,7 @@ def main(argv=None) -> int:
         model,
         InferenceArgs(sequence_length=args.seq_len, temperature=args.temperature,
                       top_k=args.top_k, top_p=args.top_p,
-                      speculate_k=args.speculate),
+                      speculate_k=args.speculate, kv_cache_dtype=args.kv_cache),
         log_fn=live_log,
     )
 

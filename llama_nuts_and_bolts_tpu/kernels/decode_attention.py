@@ -1,0 +1,149 @@
+"""Fused GQA decode-attention Pallas kernel (S=1), bf16 or int8 KV cache.
+
+Long-context decode is dominated by streaming the KV cache; at 8K context the
+cache read rivals the weight read. Two problems with the XLA path: (1) an
+int8 cache's dequantize (convert + per-row scale) does NOT fuse into the
+attention einsum — XLA materializes the dequantized bf16 cache in HBM every
+step, making int8 SLOWER than bf16 (measured 40 vs 46 tok/s at 8K); (2) the
+separate QKᵀ/softmax/PV ops bounce [1, T] intermediates. This kernel streams
+each KV head's cache through VMEM once, dequantizing int8 tiles in-register,
+with a flash-style online softmax — cache bytes are the only HBM traffic, so
+an int8 cache genuinely halves it.
+
+Grid: (batch, kv_head). Each program owns the G = H/KV query rows that share
+its KV head (folded into the MXU row dim — GQA never materializes repeat-KV,
+same as kernels/attention.py) and loops over block_k cache tiles up to the
+current position (prefetched scalar), masking slots beyond it.
+
+Capability anchor: the reference's attention pipeline
+(src/model/llamatransformer.go:289-527) at decode shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _decode_kernel(start_pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+                   *, block_k: int, groups: int, head_dim: int, scale: float,
+                   quantized: bool):
+    start_pos = start_pos_ref[0]
+    t_total = k_ref.shape[2]
+
+    q = q_ref[0, 0].reshape(groups, head_dim)            # [G, D] bf16
+
+    # stream only the visible tiles: slots [0, start_pos] (the query's own
+    # row was written before attention, at start_pos)
+    num_k_blocks = lax.min(
+        lax.div(start_pos + block_k, block_k),      # ceil((start_pos+1)/bk)
+        (t_total + block_k - 1) // block_k,
+    )
+
+    def load_tile(ref, s_ref, kb):
+        tile = ref[0, 0, pl.ds(kb * block_k, block_k), :]
+        if quantized:
+            # scales arrive as [1, 1, 1, T] so the block obeys lane tiling
+            s = s_ref[0, 0, 0, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+            tile = (tile.astype(jnp.float32) * s.reshape(block_k, 1))
+            tile = tile.astype(jnp.bfloat16)
+        return tile                                       # [block_k, D] bf16
+
+    def body(kb, carry):
+        acc, m, l = carry
+        k_tile = load_tile(k_ref, ks_ref, kb)
+        v_tile = load_tile(v_ref, vs_ref, kb)
+        s = lax.dot_general(
+            q, k_tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                         # [G, block_k]
+        k_pos = kb * block_k + lax.broadcasted_iota(
+            jnp.int32, (groups, block_k), 1)
+        s = jnp.where(k_pos <= start_pos, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = lax.dot_general(
+            p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # [G, D]
+        return acc * corr + pv, m_new, l_new
+
+    acc = jnp.zeros((groups, head_dim), jnp.float32)
+    m = jnp.full((groups, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((groups, 1), jnp.float32)
+    acc, m, l = lax.fori_loop(0, num_k_blocks, body, (acc, m, l))
+
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = out.reshape(1, groups, head_dim).astype(o_ref.dtype)
+
+
+def flash_decode_attention(
+    q: jnp.ndarray,        # [B, 1, H, D]
+    k: jnp.ndarray,        # [B, KV, T, D] bf16 or int8
+    v: jnp.ndarray,        # [B, KV, T, D]
+    start_pos,             # scalar int32: the query's position
+    k_scale=None,          # [B, KV, T] bf16 when k is int8
+    v_scale=None,
+    scale: float | None = None,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns [B, 1, H, D] in q.dtype. The query attends slots ≤ start_pos
+    (which includes its own just-written row)."""
+    B, S, H, D = q.shape
+    if S != 1:
+        raise ValueError("flash_decode_attention is the S=1 kernel")
+    _, KV, T, _ = k.shape
+    G = H // KV
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    quantized = k.dtype == jnp.int8
+    block_k = min(block_k, T)
+    if T % block_k:
+        raise ValueError(f"cache length {T} must be a multiple of block_k={block_k}")
+
+    if not quantized:
+        # uniform kernel signature: feed dummy scales (never read)
+        k_scale = jnp.zeros((B, KV, 128), jnp.bfloat16)
+        v_scale = jnp.zeros((B, KV, 128), jnp.bfloat16)
+    s_len = k_scale.shape[2]
+    k_scale = k_scale.reshape(B, KV, 1, s_len)
+    v_scale = v_scale.reshape(B, KV, 1, s_len)
+
+    qg = q.reshape(B, 1, KV, G, D)
+    kernel = functools.partial(
+        _decode_kernel, block_k=block_k, groups=G, head_dim=D, scale=scale,
+        quantized=quantized)
+    start_arr = jnp.asarray(start_pos, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, KV),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, G, D), lambda b, kv, _sp: (b, 0, kv, 0, 0)),
+                pl.BlockSpec((1, 1, T, D), lambda b, kv, _sp: (b, kv, 0, 0)),
+                pl.BlockSpec((1, 1, T, D), lambda b, kv, _sp: (b, kv, 0, 0)),
+                pl.BlockSpec((1, 1, 1, s_len), lambda b, kv, _sp: (b, kv, 0, 0)),
+                pl.BlockSpec((1, 1, 1, s_len), lambda b, kv, _sp: (b, kv, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, 1, G, D), lambda b, kv, _sp: (b, 0, kv, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1, KV, G, D), q.dtype),
+        interpret=interpret,
+    )(start_arr, qg, k, v, k_scale, v_scale)
+
+    return out.reshape(B, 1, H, D)

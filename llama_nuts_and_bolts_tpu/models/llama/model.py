@@ -54,20 +54,37 @@ class KVCache:
     kv-heads-major layout: per-head key/value rows are contiguous, which is
     what both the XLA attention einsum and the Pallas flash kernel's
     (batch, kv_head) grid programs want to stream.
+
+    ``dtype=jnp.int8`` stores K/V rows quantized per (position, head) with
+    bf16 scales (``k_scale/v_scale`` [L, B, KV, T]): halves the cache's HBM
+    traffic — which dominates long-context decode — and doubles the context
+    that fits. Rows are quantized once on write, never re-quantized, so
+    there is no error accumulation; the dequantize fuses into the attention
+    einsum's operand read.
     """
 
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: Any = None     # bf16 [L, B, KV, T] iff k.dtype == int8
+    v_scale: Any = None
 
     @classmethod
     def create(cls, cfg: ModelArgs, batch: int, max_seq: int,
                dtype=jnp.bfloat16) -> "KVCache":
         shape = (cfg.n_layers, batch, cfg.kv_heads, max_seq, cfg.head_dim)
+        if dtype == jnp.int8:
+            return cls(k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                       k_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+                       v_scale=jnp.zeros(shape[:-1], jnp.bfloat16))
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def max_seq(self) -> int:
         return self.k.shape[3]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
 
 
 def attention_mask(seq_len: int, cache_len: int, start_pos) -> jnp.ndarray:
@@ -131,16 +148,48 @@ def forward(
         else:
             mask = attention_mask(S, T, start_pos)[None, :, :]    # [1,S,T]
 
-    def attend(q, ck, cv):
+    def attend(q, ck, cv, cks=None, cvs=None):
         if attn_impl == "flash":
+            block_k = next((b for b in (512, 256, 128) if T % b == 0), T)
+            if S == 1:
+                from llama_nuts_and_bolts_tpu.kernels.decode_attention import (
+                    flash_decode_attention,
+                )
+
+                return flash_decode_attention(q, ck, cv, start_pos,
+                                              k_scale=cks, v_scale=cvs,
+                                              block_k=block_k)
             from llama_nuts_and_bolts_tpu.kernels.attention import flash_gqa_attention
 
-            block_k = next((b for b in (512, 256, 128) if T % b == 0), T)
             return flash_gqa_attention(q, ck, cv, start_pos, block_k=block_k)
+        if cks is not None:
+            # XLA path: dequantize before the einsum (materializes; the flash
+            # decode kernel is the traffic-optimal path for int8 caches)
+            ck = ck.astype(jnp.bfloat16) * cks[..., None].astype(jnp.bfloat16)
+            cv = cv.astype(jnp.bfloat16) * cvs[..., None].astype(jnp.bfloat16)
         return gqa_attention(q, ck, cv, mask)
 
+    quantized = cache.quantized
+    if quantized and attn_impl == "flash" and S != 1:
+        raise ValueError(
+            "int8 KV cache + flash is decode-only (S=1); use attn_impl='xla' "
+            "for prefill (compute-bound, dequant materialization is fine)")
+
+    def write(c, rows, p):
+        """Write [B,KV,S,...] rows into cache tensor c at position(s) p."""
+        pad = (0,) * (rows.ndim - 3)
+        if per_row:
+            return jax.vmap(
+                lambda cb, u, pb: lax.dynamic_update_slice(cb, u, (0, pb) + pad)
+            )(c, rows.astype(c.dtype), p)
+        return lax.dynamic_update_slice(c, rows.astype(c.dtype),
+                                        (0, 0, p) + pad)
+
     def block(x, scanned):
-        w, ck, cv = scanned                                       # ck/cv [B,KV,T,D]
+        if quantized:
+            w, ck, cv, cks, cvs = scanned                         # ck/cv int8
+        else:
+            w, ck, cv = scanned                                   # ck/cv [B,KV,T,D]
         h = rms_norm(x, w["attn_norm"], cfg.norm_eps)
         q = linear(h, w["wq"]).reshape(B, S, H, D)
         k = linear(h, w["wk"]).reshape(B, S, KV, D)
@@ -148,25 +197,43 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin).transpose(0, 2, 1, 3)         # [B,KV,S,D]
         v = v.transpose(0, 2, 1, 3)
-        if per_row:
-            upd = jax.vmap(lambda c, u, p: lax.dynamic_update_slice(c, u, (0, p, 0)))
-            ck = upd(ck, k.astype(ck.dtype), start_pos)
-            cv = upd(cv, v.astype(cv.dtype), start_pos)
+        if quantized:
+            # per-(position, head) symmetric int8; scales stored bf16
+            def quantize_rows(rows):
+                s = jnp.maximum(jnp.max(jnp.abs(rows.astype(jnp.float32)),
+                                        axis=-1), 1e-8) / 127.0   # [B,KV,S]
+                qr = jnp.clip(jnp.round(rows.astype(jnp.float32) / s[..., None]),
+                              -127, 127).astype(jnp.int8)
+                return qr, s.astype(jnp.bfloat16)
+
+            kq, ks = quantize_rows(k)
+            vq, vs = quantize_rows(v)
+            ck, cks = write(ck, kq, start_pos), write(cks, ks, start_pos)
+            cv, cvs = write(cv, vq, start_pos), write(cvs, vs, start_pos)
+            att = attend(q, ck, cv, cks, cvs)
+            out_carry = (ck, cv, cks, cvs)
         else:
-            ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, start_pos, 0))
-            cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, start_pos, 0))
-        att = attend(q, ck, cv)
+            ck = write(ck, k, start_pos)
+            cv = write(cv, v, start_pos)
+            att = attend(q, ck, cv)
+            out_carry = (ck, cv)
         x = x + linear(att.reshape(B, S, H * D), w["wo"])
         h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
         x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
-        return x, (ck, cv)
+        return x, out_carry
 
-    x, (ck_new, cv_new) = lax.scan(block, x, (params.layers, cache.k, cache.v))
+    if quantized:
+        xs = (params.layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        x, (ck_new, cv_new, cks_new, cvs_new) = lax.scan(block, x, xs)
+        new_cache = KVCache(k=ck_new, v=cv_new, k_scale=cks_new, v_scale=cvs_new)
+    else:
+        x, (ck_new, cv_new) = lax.scan(block, x, (params.layers, cache.k, cache.v))
+        new_cache = KVCache(k=ck_new, v=cv_new)
     if logits_at is not None:
         x = lax.dynamic_slice_in_dim(x, logits_at, 1, axis=1)     # [B,1,dim]
     x = rms_norm(x, params.norm, cfg.norm_eps)
     logits = linear(x, params.output, out_dtype=jnp.float32)      # [B,S|1,vocab]
-    return logits, KVCache(k=ck_new, v=cv_new)
+    return logits, new_cache
 
 
 # --------------------------------------------------------------------------

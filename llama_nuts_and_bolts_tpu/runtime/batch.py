@@ -61,7 +61,7 @@ def generate_tokens_batched(engine, prompts: Sequence[Sequence[int]]):
             f"context sequence length {engine.seq_len} must be higher than "
             f"longest prompt length {max_len}")
 
-    cache = KVCache.create(cfg, B, engine.seq_len)
+    cache = engine.new_cache(B)
     bucket = prefill_bucket(min_len, engine.seq_len)
     # prefill only to the shortest prompt: every row is real up to min_len
     padded = np.zeros((B, bucket), dtype=np.int32)

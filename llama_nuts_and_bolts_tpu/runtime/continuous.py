@@ -40,6 +40,13 @@ from llama_nuts_and_bolts_tpu.models.llama.model import KVCache, forward
 from llama_nuts_and_bolts_tpu.runtime.types import GenerationState
 
 
+def _map_cache(fn, *caches: KVCache) -> KVCache:
+    """Apply ``fn`` leaf-wise across caches (handles optional int8 scales)."""
+    quantized = caches[0].quantized
+    fields = ("k", "v", "k_scale", "v_scale") if quantized else ("k", "v")
+    return KVCache(**{f: fn(*(getattr(c, f) for c in caches)) for f in fields})
+
+
 @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))
 def _prefill_slot(params, cfg, tokens, logits_at, cache: KVCache, slot):
     """Run prefill for one request inside slot ``slot`` of the shared cache.
@@ -47,11 +54,11 @@ def _prefill_slot(params, cfg, tokens, logits_at, cache: KVCache, slot):
     ``tokens`` is [1, bucket] (padded); returns (first generated token [ ],
     updated cache). One executable per bucket length; ``slot`` and
     ``logits_at`` are traced."""
-    sub = KVCache(k=lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
-                  v=lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1))
+    sub = _map_cache(lambda a: lax.dynamic_slice_in_dim(a, slot, 1, axis=1), cache)
     logits, sub = forward(params, cfg, tokens, 0, sub, logits_at=logits_at)
-    cache = KVCache(k=lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1),
-                    v=lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1))
+    cache = _map_cache(
+        lambda a, s: lax.dynamic_update_slice_in_dim(a, s, slot, axis=1),
+        cache, sub)
     return jnp.argmax(logits[0, 0]).astype(jnp.int32), cache
 
 
@@ -97,7 +104,7 @@ class ContinuousBatcher:
         self.vocab = engine.model.vocab
         self.n_slots = n_slots
         self.seq_len = engine.seq_len
-        self.cache = KVCache.create(self.cfg, n_slots, self.seq_len)
+        self.cache = engine.new_cache(n_slots)
         self.slots: List[Optional[Request]] = [None] * n_slots
         # per-slot feed token and position of that token (= next write pos)
         self._feed = np.zeros(n_slots, dtype=np.int32)

@@ -90,7 +90,7 @@ def generate_block(engine, prompt_tokens: Sequence[int],
         raise ValueError("prompt longer than context")
     max_new = min(max_new_tokens, engine.seq_len - prompt_len)
 
-    cache = KVCache.create(cfg, 1, engine.seq_len)
+    cache = engine.new_cache(1)
     bucket = prefill_bucket(prompt_len, engine.seq_len)
     padded = np.zeros((1, bucket), dtype=np.int32)
     padded[0, :prompt_len] = prompt_tokens

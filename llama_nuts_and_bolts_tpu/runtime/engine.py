@@ -88,13 +88,23 @@ class InferenceEngine:
     def token_batch_to_debug_string(self, token_ids) -> str:
         return self.model.vocab.debug_string(token_ids)
 
+    def new_cache(self, batch: int = 1) -> KVCache:
+        """Fresh KV cache honoring ``args.kv_cache_dtype`` (bf16 | int8)."""
+        dtype = jnp.int8 if self.args.kv_cache_dtype == "int8" else jnp.bfloat16
+        return KVCache.create(self.model.cfg, batch, self.seq_len, dtype=dtype)
+
     def _attn_impl(self, seq_len: int) -> str:
-        """Pallas flash attention for TPU prefill; XLA elsewhere (decode's
-        S=1 tiles are too small for the MXU-folded kernel to help)."""
+        """Pallas kernels on TPU where they pay: flash prefill for bf16
+        caches (decode's S=1 tiles are too small to beat XLA there), and the
+        flash-DECODE kernel for int8 caches (XLA cannot fuse the dequantize
+        into its einsum — it materializes the bf16 cache every step)."""
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        aligned = self.model.cfg.head_dim % 128 == 0
+        if self.args.kv_cache_dtype == "int8":
+            return "flash" if (seq_len == 1 and on_tpu and aligned) else "xla"
         if self.args.attn_impl != "auto":
             return self.args.attn_impl
-        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-        if seq_len > 1 and on_tpu and self.model.cfg.head_dim % 128 == 0:
+        if seq_len > 1 and on_tpu and aligned:
             return "flash"
         return "xla"
 
@@ -118,7 +128,7 @@ class InferenceEngine:
                 f"context sequence length {self.seq_len} must be higher than "
                 f"prompt tokens length {prompt_len}"
             )
-        cache = KVCache.create(cfg, 1, self.seq_len)
+        cache = self.new_cache(1)
         bucket = prefill_bucket(prompt_len, self.seq_len)
         padded = np.zeros((1, bucket), dtype=np.int32)
         padded[0, :prompt_len] = prompt_tokens

@@ -64,6 +64,9 @@ class InferenceArgs:
     # n-gram prompt-lookup speculative decoding: verify up to k drafts per
     # step (greedy only — exact-equivalence; 0 disables)
     speculate_k: int = 0
+    # "bf16" | "int8": int8 halves KV-cache HBM traffic (dominant at long
+    # context) and doubles the context that fits; per-row scales, written once
+    kv_cache_dtype: str = "bf16"
 
 
 @dataclass

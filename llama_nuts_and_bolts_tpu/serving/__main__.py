@@ -22,6 +22,8 @@ def main(argv=None) -> int:
     p.add_argument("--continuous", type=int, default=0, metavar="SLOTS",
                    help="continuous batching: greedy requests share decode "
                         "steps across SLOTS cache slots (0 disables)")
+    p.add_argument("--kv-cache", choices=["bf16", "int8"], default="bf16",
+                   help="KV cache dtype (int8 halves cache traffic)")
     args = p.parse_args(argv)
 
     from llama_nuts_and_bolts_tpu.utils.compile_cache import enable_persistent_cache
@@ -47,7 +49,8 @@ def main(argv=None) -> int:
         name = "llama-3.1-8b-instruct"
 
     engine = InferenceEngine(model, InferenceArgs(sequence_length=args.seq_len,
-                                                  speculate_k=args.speculate))
+                                                  speculate_k=args.speculate,
+                                                  kv_cache_dtype=args.kv_cache))
     serve(engine, args.host, args.port, name, continuous_slots=args.continuous)
     return 0
 
