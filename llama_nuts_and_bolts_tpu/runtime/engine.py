@@ -209,8 +209,11 @@ class InferenceEngine:
                 real = len(drafts)
                 step = jnp.asarray(
                     [[tok] + drafts + [drafts[-1]] * (k - real)], dtype=jnp.int32)
+                # verify runs S=k+1 rows: always the XLA path (the flash
+                # kernels are prefill- or S=1-shaped, and a k+1-row step is
+                # as weight-bound as a single-token one)
                 logits, cache = self._fwd(self.model.params, cfg, step, start,
-                                          cache, attn_impl=self._attn_impl(1))
+                                          cache, attn_impl="xla")
                 preds = np.asarray(jnp.argmax(logits[0], axis=-1))
                 n_acc = longest_accepted_prefix(drafts, preds[:real].tolist())
                 self.spec_stats["spec_steps"] += 1

@@ -136,3 +136,14 @@ def test_flash_decode_kernel_interpret_matches_xla():
                                               v_scale=vs, block_k=16,
                                               interpret=True))
     np.testing.assert_allclose(got_q, ref_q, rtol=3e-2, atol=3e-2)
+
+
+def test_speculative_with_int8_cache():
+    """speculate_k + int8 cache: the k+1-row verify must not route to the
+    S=1-only flash-decode kernel."""
+    eng = make_engine(sequence_length=24, kv_cache_dtype="int8", speculate_k=3)
+    out = list(eng.generate_tokens([3, 3, 3, 3]))
+    assert out and out[-1][0] != GenerationState.IN_PROGRESS
+    ref = list(make_engine(sequence_length=24,
+                           kv_cache_dtype="int8").generate_tokens([3, 3, 3, 3]))
+    assert out == ref  # same int8-cache numerics → exact equivalence
