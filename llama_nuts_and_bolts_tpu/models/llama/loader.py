@@ -134,7 +134,16 @@ def build_params_from_checkpoint(
             from llama_nuts_and_bolts_tpu.quant import Q4Tensor, host_quantize_q4
 
             packed, scale = host_quantize_q4(host)
-            return Q4Tensor(packed=put(key, packed), scale=jnp.asarray(scale))
+            sharding = sharding_fn(key) if sharding_fn is not None else None
+            if sharding is not None:
+                # the grouped int4 layout has a different rank than the dense
+                # weight; adapt the dense spec (parallel/sharding.py)
+                from llama_nuts_and_bolts_tpu.parallel.sharding import q4_shardings
+
+                p_sh, s_sh = q4_shardings(sharding, packed.shape, scale.shape)
+                return Q4Tensor(packed=jax.device_put(packed, p_sh),
+                                scale=jax.device_put(scale, s_sh))
+            return Q4Tensor(packed=jnp.asarray(packed), scale=jnp.asarray(scale))
         return put(key, host)
 
     layers: Dict[str, jnp.ndarray] = {}

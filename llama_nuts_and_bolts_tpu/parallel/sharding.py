@@ -113,6 +113,12 @@ def cache_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     s = cache_sharding(mesh)
+    if cache.quantized:
+        # scales [L, B, KV, T]: batch on dp, kv heads on tp (match the values)
+        ss = NamedSharding(mesh, P(None, "dp", "tp", None))
+        return KVCache(k=jax.device_put(cache.k, s), v=jax.device_put(cache.v, s),
+                       k_scale=jax.device_put(cache.k_scale, ss),
+                       v_scale=jax.device_put(cache.v_scale, ss))
     return KVCache(k=jax.device_put(cache.k, s), v=jax.device_put(cache.v, s))
 
 
@@ -121,3 +127,14 @@ def token_sharding(mesh: Mesh, seq_parallel: bool = False) -> NamedSharding:
     dim shards on sp — embeddings/norms/FFN partition along S for free and
     XLA all-gathers K/V for attention (sequence parallelism for prefill)."""
     return NamedSharding(mesh, P("dp", "sp" if seq_parallel else None))
+
+
+def q4_shardings(dense_sharding: NamedSharding, packed_shape, scale_shape):
+    """Adapt a dense weight's NamedSharding to the grouped int4 layout
+    (packed [..., G, out, K/2], scale [..., G, out]) for direct sharded
+    loading. Mirrors :func:`_put_weight`'s spec derivation."""
+    mesh, spec = dense_sharding.mesh, dense_sharding.spec
+    lead, s_out, s_in = spec[:-2], spec[-2], spec[-1]
+    p_spec = _fit_spec(P(*lead, s_in, s_out, None), packed_shape, mesh)
+    s_spec = _fit_spec(P(*lead, s_in, s_out), scale_shape, mesh)
+    return NamedSharding(mesh, p_spec), NamedSharding(mesh, s_spec)

@@ -182,3 +182,35 @@ def test_tp_nativized_int4_decode(params):
     ref, _ = step(qp, CFG, tok, 0, ref_cache)
     got, _ = step(sp, CFG, tok, 0, got_cache)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sharded_loader_int4(params):
+    """Direct sharded loading of an int4-quantized checkpoint: the grouped
+    packed layout gets rank-adapted specs, and the forward runs."""
+    from llama_nuts_and_bolts_tpu.models.llama import build_params_from_checkpoint
+    from tests.test_model import make_torch_weights, to_host_tensors
+
+    mesh = make_mesh(tp=4, dp=1)
+    weights = make_torch_weights(CFG, seed=7)
+    sharded = build_params_from_checkpoint(
+        to_host_tensors(weights), CFG, sharding_fn=param_sharding_fn(mesh),
+        quant="int4")
+    ws = sharded.layers["wq"].packed.sharding
+    assert isinstance(ws, NamedSharding) and ws.spec == P(None, None, "tp", None)
+    tokens = jnp.asarray([[1, 2, 3]], dtype=jnp.int32)
+    logits, _ = FWD(sharded, CFG, tokens, 0,
+                    shard_cache(KVCache.create(CFG, 1, 16), mesh))
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_tp_int8_cache_decode(params):
+    """int8 KV cache shards (values + scales) and decodes under tp."""
+    mesh = make_mesh(tp=4, dp=1)
+    sp = shard_params(params, mesh)
+    cache = shard_cache(KVCache.create(CFG, 1, 16, dtype=jnp.int8), mesh)
+    assert cache.k_scale.sharding.spec == P(None, "dp", "tp", None)
+    tokens = jnp.asarray([[3, 14]], dtype=jnp.int32)
+    logits, cache = FWD(sp, CFG, tokens, 0, cache)
+    tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+    logits, cache = FWD(sp, CFG, tok, 2, cache)
+    assert np.isfinite(np.asarray(logits)).all()
