@@ -65,6 +65,8 @@ class InferenceEngine:
         self._fwd = jax.jit(forward, static_argnums=(1,),
                             static_argnames=("attn_impl",), donate_argnums=(4,))
         self._rng = jax.random.PRNGKey(self.args.seed)
+        # prefix cache: token-tuple -> KVCache snapshot (see cache_prefix)
+        self._prefix_cache: Dict[tuple, KVCache] = {}
 
     # ------------------------------------------------------------ tokenize
 
@@ -119,23 +121,72 @@ class InferenceEngine:
             tok = jnp.argmax(logits_row, axis=-1)
         return int(tok)
 
+    # ------------------------------------------------------- prefix caching
+
+    MAX_CACHED_PREFIXES = 4
+
+    def cache_prefix(self, prefix_tokens: Sequence[int]) -> None:
+        """Prefill ``prefix_tokens`` once and snapshot the KV state: any later
+        prompt that starts with these tokens skips recomputing them (system
+        prompts, shared few-shot preambles). The snapshot is copied per use —
+        the decode loop donates its cache — so the stored state is immutable.
+        Keeps at most MAX_CACHED_PREFIXES snapshots (FIFO eviction)."""
+        prefix = tuple(prefix_tokens)
+        if not prefix or len(prefix) >= self.seq_len:
+            raise ValueError("prefix must be non-empty and shorter than context")
+        if prefix in self._prefix_cache:
+            return
+        _logits, cache = self._run_prefill(list(prefix), self.new_cache(1), 0)
+        while len(self._prefix_cache) >= self.MAX_CACHED_PREFIXES:
+            self._prefix_cache.pop(next(iter(self._prefix_cache)))
+        self._prefix_cache[prefix] = cache
+
+    def _match_prefix(self, prompt_tokens: Sequence[int]):
+        """Longest cached prefix of the prompt (None when nothing matches)."""
+        best = None
+        for prefix in self._prefix_cache:
+            if len(prompt_tokens) >= len(prefix) and (
+                    tuple(prompt_tokens[:len(prefix)]) == prefix):
+                if best is None or len(prefix) > len(best):
+                    best = prefix
+        return best
+
+    def _run_prefill(self, tokens: Sequence[int], cache: KVCache,
+                     start_pos: int) -> Tuple[jnp.ndarray, KVCache]:
+        """One bucketed-padded prefill of ``tokens`` at ``start_pos``."""
+        n = len(tokens)
+        bucket = prefill_bucket(n, self.seq_len)
+        if start_pos + bucket > self.seq_len:
+            raise ValueError("prefill bucket exceeds cache length")
+        padded = np.zeros((1, bucket), dtype=np.int32)
+        padded[0, :n] = tokens
+        return self._fwd(self.model.params, self.model.cfg, jnp.asarray(padded),
+                         start_pos, cache, attn_impl=self._attn_impl(bucket),
+                         logits_at=n - 1)
+
     def _prefill(self, prompt_tokens: Sequence[int]) -> Tuple[jnp.ndarray, KVCache]:
-        """Bucketed-padded prefill; returns logits at the last prompt row."""
-        cfg = self.model.cfg
+        """Bucketed-padded prefill; returns logits at the last prompt row.
+        Reuses the longest cached prefix snapshot when one matches."""
         prompt_len = len(prompt_tokens)
         if prompt_len >= self.seq_len:
             raise ValueError(
                 f"context sequence length {self.seq_len} must be higher than "
                 f"prompt tokens length {prompt_len}"
             )
-        cache = self.new_cache(1)
-        bucket = prefill_bucket(prompt_len, self.seq_len)
-        padded = np.zeros((1, bucket), dtype=np.int32)
-        padded[0, :prompt_len] = prompt_tokens
-        self.log("Running prefill: prompt_len=%d bucket=%d", prompt_len, bucket)
-        return self._fwd(self.model.params, cfg, jnp.asarray(padded), 0,
-                         cache, attn_impl=self._attn_impl(bucket),
-                         logits_at=prompt_len - 1)
+        prefix = self._match_prefix(prompt_tokens)
+        if prefix is not None:
+            plen = len(prefix)
+            if plen == prompt_len:
+                # prompt == prefix: re-run its last token for the logits row
+                plen -= 1
+            suffix = list(prompt_tokens[plen:])
+            if plen + prefill_bucket(len(suffix), self.seq_len) <= self.seq_len:
+                cache = jax.tree_util.tree_map(jnp.copy, self._prefix_cache[prefix])
+                self.log("Prefix cache hit: %d of %d prompt tokens reused",
+                         plen, prompt_len)
+                return self._run_prefill(suffix, cache, plen)
+        self.log("Running prefill: prompt_len=%d", prompt_len)
+        return self._run_prefill(list(prompt_tokens), self.new_cache(1), 0)
 
     def generate_tokens(
         self, prompt_tokens: Sequence[int]

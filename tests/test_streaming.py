@@ -226,3 +226,48 @@ def test_sampling_mode_runs():
     engine = make_engine(sequence_length=16, temperature=0.8, top_k=8, top_p=0.9)
     out = list(engine.generate_tokens([1, 2]))
     assert out and all(0 <= t < VOCAB.size for _, t in out)
+
+
+# ---------------------------------------------------------- prefix caching
+
+
+def test_prefix_cache_matches_cold_generation():
+    engine = make_engine(sequence_length=24)
+    prompt = [1, 5, 9, 2, 7]
+    cold = list(engine.generate_tokens(prompt))
+    engine.cache_prefix(prompt[:3])
+    assert engine._match_prefix(prompt) == tuple(prompt[:3])
+    warm = list(engine.generate_tokens(prompt))
+    assert warm == cold
+    # snapshot must survive reuse (decode donates its copy, not the original)
+    warm2 = list(engine.generate_tokens(prompt))
+    assert warm2 == cold
+
+
+def test_prefix_cache_exact_prompt_match():
+    engine = make_engine(sequence_length=24)
+    prompt = [1, 5, 9]
+    cold = list(engine.generate_tokens(prompt))
+    engine.cache_prefix(prompt)  # prefix == whole prompt
+    warm = list(engine.generate_tokens(prompt))
+    assert warm == cold
+
+
+def test_prefix_cache_longest_match_wins_and_evicts():
+    engine = make_engine(sequence_length=24)
+    engine.cache_prefix([1])
+    engine.cache_prefix([1, 5])
+    assert engine._match_prefix([1, 5, 9]) == (1, 5)
+    assert engine._match_prefix([2, 5]) is None
+    for i in range(engine.MAX_CACHED_PREFIXES):
+        engine.cache_prefix([3, i])
+    assert len(engine._prefix_cache) == engine.MAX_CACHED_PREFIXES
+    assert engine._match_prefix([1]) is None  # FIFO-evicted
+
+
+def test_prefix_cache_rejects_bad_prefix():
+    engine = make_engine(sequence_length=16)
+    with pytest.raises(ValueError):
+        engine.cache_prefix([])
+    with pytest.raises(ValueError):
+        engine.cache_prefix(list(range(16)))
