@@ -80,6 +80,10 @@ def parse_args(argv=None):
     p.add_argument("--speculate", type=int, default=0, metavar="K",
                    help="n-gram prompt-lookup speculative decoding: verify up "
                         "to K drafts per step (greedy only; 0 disables)")
+    p.add_argument("--prefill-chunk", type=int, default=0, metavar="C",
+                   help="process prompts longer than C tokens in C-token "
+                        "chunks (bounds prefill memory at long context and "
+                        "compiles one chunk executable; 0 disables)")
     p.add_argument("--debug", action="store_true", help="write debug.log trace")
     p.add_argument("--tiny", action="store_true",
                    help="use a tiny random-weights model + synthetic tokenizer "
@@ -253,7 +257,8 @@ def main(argv=None) -> int:
         model,
         InferenceArgs(sequence_length=args.seq_len, temperature=args.temperature,
                       top_k=args.top_k, top_p=args.top_p,
-                      speculate_k=args.speculate, kv_cache_dtype=args.kv_cache),
+                      speculate_k=args.speculate, kv_cache_dtype=args.kv_cache,
+                      prefill_chunk=args.prefill_chunk),
         log_fn=live_log,
     )
 

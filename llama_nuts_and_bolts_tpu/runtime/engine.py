@@ -153,10 +153,32 @@ class InferenceEngine:
 
     def _run_prefill(self, tokens: Sequence[int], cache: KVCache,
                      start_pos: int) -> Tuple[jnp.ndarray, KVCache]:
-        """One bucketed-padded prefill of ``tokens`` at ``start_pos``."""
+        """Bucketed-padded prefill of ``tokens`` at ``start_pos``.
+
+        With ``args.prefill_chunk=C`` set and more than C tokens, all but the
+        tail run in exact C-token chunks first (one executable shared by every
+        chunk; attention/activation memory bounded at O(C·T) instead of
+        O(S·T)); only the tail takes the bucketed path below. Each chunk's
+        logits are discarded — ``logits_at`` projects a single row through the
+        vocab head, so the waste per chunk is one [1,vocab] matvec.
+        """
+        chunk = self.args.prefill_chunk
+        if chunk > 0 and len(tokens) > chunk:
+            done = 0
+            while len(tokens) - done > chunk:
+                piece = np.asarray([tokens[done:done + chunk]], dtype=np.int32)
+                _, cache = self._fwd(self.model.params, self.model.cfg,
+                                     jnp.asarray(piece), start_pos + done,
+                                     cache, attn_impl=self._attn_impl(chunk),
+                                     logits_at=chunk - 1)
+                done += chunk
+            tokens = tokens[done:]
+            start_pos += done
         n = len(tokens)
-        bucket = prefill_bucket(n, self.seq_len)
-        if start_pos + bucket > self.seq_len:
+        # cap by the cache room left past start_pos, not the whole cache —
+        # a tail/suffix at start_pos>0 must not let padding spill off the end
+        bucket = prefill_bucket(n, self.seq_len - start_pos)
+        if start_pos + bucket > self.seq_len or n > bucket:
             raise ValueError("prefill bucket exceeds cache length")
         padded = np.zeros((1, bucket), dtype=np.int32)
         padded[0, :n] = tokens
@@ -180,11 +202,12 @@ class InferenceEngine:
                 # prompt == prefix: re-run its last token for the logits row
                 plen -= 1
             suffix = list(prompt_tokens[plen:])
-            if plen + prefill_bucket(len(suffix), self.seq_len) <= self.seq_len:
-                cache = jax.tree_util.tree_map(jnp.copy, self._prefix_cache[prefix])
-                self.log("Prefix cache hit: %d of %d prompt tokens reused",
-                         plen, prompt_len)
-                return self._run_prefill(suffix, cache, plen)
+            # always fits: plen + len(suffix) = prompt_len < seq_len, and
+            # _run_prefill caps the suffix bucket at the remaining cache room
+            cache = jax.tree_util.tree_map(jnp.copy, self._prefix_cache[prefix])
+            self.log("Prefix cache hit: %d of %d prompt tokens reused",
+                     plen, prompt_len)
+            return self._run_prefill(suffix, cache, plen)
         self.log("Running prefill: prompt_len=%d", prompt_len)
         return self._run_prefill(list(prompt_tokens), self.new_cache(1), 0)
 

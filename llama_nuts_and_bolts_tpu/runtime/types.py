@@ -67,6 +67,10 @@ class InferenceArgs:
     # "bf16" | "int8": int8 halves KV-cache HBM traffic (dominant at long
     # context) and doubles the context that fits; per-row scales, written once
     kv_cache_dtype: str = "bf16"
+    # process prompts longer than this many tokens in fixed-size chunks:
+    # bounds prefill activation/attention memory at long context and reuses
+    # ONE chunk executable instead of one per power-of-two bucket (0 = off)
+    prefill_chunk: int = 0
 
 
 @dataclass

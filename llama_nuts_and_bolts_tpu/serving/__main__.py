@@ -24,6 +24,9 @@ def main(argv=None) -> int:
                         "steps across SLOTS cache slots (0 disables)")
     p.add_argument("--kv-cache", choices=["bf16", "int8"], default="bf16",
                    help="KV cache dtype (int8 halves cache traffic)")
+    p.add_argument("--prefill-chunk", type=int, default=0, metavar="C",
+                   help="chunked prefill: prompts longer than C tokens run in "
+                        "C-token chunks (bounds memory; 0 disables)")
     args = p.parse_args(argv)
 
     from llama_nuts_and_bolts_tpu.utils.compile_cache import enable_persistent_cache
@@ -50,7 +53,8 @@ def main(argv=None) -> int:
 
     engine = InferenceEngine(model, InferenceArgs(sequence_length=args.seq_len,
                                                   speculate_k=args.speculate,
-                                                  kv_cache_dtype=args.kv_cache))
+                                                  kv_cache_dtype=args.kv_cache,
+                                                  prefill_chunk=args.prefill_chunk))
     serve(engine, args.host, args.port, name, continuous_slots=args.continuous)
     return 0
 

@@ -110,16 +110,21 @@ def test_continuous_mode_concurrent_requests_match_serialized():
                            {"prompt": p, "max_tokens": 8})
             expected[p] = body["choices"][0]["text"]
 
-        results = {}
+        results, errors = {}, []
         def fetch(p):
-            _, body = post(f"http://127.0.0.1:{port_cont}/v1/completions",
-                           {"prompt": p, "max_tokens": 8})
-            results[p] = body["choices"][0]["text"]
+            try:
+                _, body = post(f"http://127.0.0.1:{port_cont}/v1/completions",
+                               {"prompt": p, "max_tokens": 8})
+                results[p] = body["choices"][0]["text"]
+            except Exception as exc:  # surface in the main thread
+                errors.append((p, repr(exc)))
         threads = [threading.Thread(target=fetch, args=(p,)) for p in prompts]
         for t in threads:
             t.start()
         for t in threads:
             t.join(timeout=120)
+        assert not errors, f"concurrent request errors: {errors}"
+        assert not any(t.is_alive() for t in threads), "request timed out"
         assert results == expected
     finally:
         srv_serial.shutdown()

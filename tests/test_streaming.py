@@ -265,6 +265,41 @@ def test_prefix_cache_longest_match_wins_and_evicts():
     assert engine._match_prefix([1]) is None  # FIFO-evicted
 
 
+def test_chunked_prefill_matches_unchunked():
+    prompt = list(np.random.RandomState(7).randint(0, 256, size=21))
+    cold = list(make_engine(sequence_length=48).generate_tokens(prompt))
+    for chunk in (4, 5, 16, 21, 64):
+        chunked = make_engine(sequence_length=48, prefill_chunk=chunk)
+        assert list(chunked.generate_tokens(prompt)) == cold, f"chunk={chunk}"
+
+
+def test_chunked_prefill_near_capacity_prompt():
+    # tail lands close to the end of the cache: its bucket must be capped by
+    # the remaining room, not the whole cache (regression: ValueError)
+    prompt = list(np.random.RandomState(11).randint(0, 256, size=21))
+    cold = list(make_engine(sequence_length=24).generate_tokens(prompt))
+    warm = list(make_engine(sequence_length=24, prefill_chunk=4)
+                .generate_tokens(prompt))
+    assert warm == cold
+
+
+def test_prefix_cache_near_capacity_prompt():
+    # suffix prefill close to the cache end must also cap its bucket
+    prompt = list(np.random.RandomState(13).randint(0, 256, size=21))
+    cold = list(make_engine(sequence_length=24).generate_tokens(prompt))
+    engine = make_engine(sequence_length=24)
+    engine.cache_prefix(prompt[:15])
+    assert list(engine.generate_tokens(prompt)) == cold
+
+
+def test_chunked_prefill_composes_with_prefix_cache():
+    prompt = list(np.random.RandomState(3).randint(0, 256, size=18))
+    cold = list(make_engine(sequence_length=48).generate_tokens(prompt))
+    engine = make_engine(sequence_length=48, prefill_chunk=4)
+    engine.cache_prefix(prompt[:9])  # prefix itself prefills chunked
+    assert list(engine.generate_tokens(prompt)) == cold
+
+
 def test_prefix_cache_rejects_bad_prefix():
     engine = make_engine(sequence_length=16)
     with pytest.raises(ValueError):
