@@ -27,6 +27,11 @@ def main(argv=None) -> int:
     p.add_argument("--prefill-chunk", type=int, default=0, metavar="C",
                    help="chunked prefill: prompts longer than C tokens run in "
                         "C-token chunks (bounds memory; 0 disables)")
+    p.add_argument("--cache-system-prompt", default=None, metavar="TEXT",
+                   help="prefill TEXT's system-prompt block once at startup "
+                        "and snapshot its KV state; chat requests whose first "
+                        "message is this system prompt prefill only their "
+                        "suffix (no effect in --continuous mode)")
     args = p.parse_args(argv)
 
     from llama_nuts_and_bolts_tpu.utils.compile_cache import enable_persistent_cache
@@ -55,6 +60,12 @@ def main(argv=None) -> int:
                                                   speculate_k=args.speculate,
                                                   kv_cache_dtype=args.kv_cache,
                                                   prefill_chunk=args.prefill_chunk))
+    if args.cache_system_prompt and not args.continuous:
+        from llama_nuts_and_bolts_tpu.tokenizer import PromptPart, render_prefix_tokens
+
+        engine.cache_prefix(render_prefix_tokens(
+            [PromptPart("system", args.cache_system_prompt)],
+            model.vocab, model.mergeable_ranks))
     serve(engine, args.host, args.port, name, continuous_slots=args.continuous)
     return 0
 

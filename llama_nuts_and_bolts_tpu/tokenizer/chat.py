@@ -52,3 +52,27 @@ def render_chat_tokens(
         if not part.is_last_assistant:
             out.append(special[E_TURN])
     return out
+
+
+def render_prefix_tokens(
+    parts: Sequence[PromptPart],
+    vocab: Vocabulary,
+    ranks: Dict[bytes, int],
+) -> List[int]:
+    """Tokens shared by EVERY conversation that begins with ``parts`` (e.g. a
+    fixed system prompt) — render_chat_tokens without the implicit trailing
+    assistant header, exactly the token prefix ``engine.cache_prefix`` wants.
+    The template's special tokens bound each part, so BPE merges cannot cross
+    the boundary and the prefix property is exact."""
+    special = vocab.special_token_to_id
+    out: List[int] = [special[B_TXT]]
+    for part in parts:
+        if not part.content:
+            continue
+        out.append(special[B_HEADER])
+        out.extend(encode_ordinary(part.header, ranks))
+        out.append(special[E_HEADER])
+        out.extend(encode_ordinary("\n\n", ranks))
+        out.extend(encode_ordinary(part.content, ranks))
+        out.append(special[E_TURN])
+    return out

@@ -129,3 +129,34 @@ def test_continuous_mode_concurrent_requests_match_serialized():
     finally:
         srv_serial.shutdown()
         srv_cont.shutdown()
+
+
+def test_cached_system_prompt_matches_uncached():
+    """A server-side cached system prompt changes nothing about responses —
+    requests carrying that system prompt just skip recomputing its KV block."""
+    from llama_nuts_and_bolts_tpu.tokenizer import PromptPart, render_prefix_tokens
+
+    messages = [{"role": "system", "content": "Be brief."},
+                {"role": "user", "content": "hello"}]
+
+    srv_cold = LlamaHTTPServer(make_engine(sequence_length=48), model_name="t")
+    port_cold = srv_cold.start_background()
+    eng = make_engine(sequence_length=48)
+    eng.cache_prefix(render_prefix_tokens(
+        [PromptPart("system", "Be brief.")],
+        eng.model.vocab, eng.model.mergeable_ranks))
+    srv_warm = LlamaHTTPServer(eng, model_name="t")
+    port_warm = srv_warm.start_background()
+    try:
+        _, cold = post(f"http://127.0.0.1:{port_cold}/v1/chat/completions",
+                       {"messages": messages, "max_tokens": 8})
+        # the request's rendered prompt must actually hit the snapshot
+        rendered = eng.tokenize([PromptPart(m["role"], m["content"])
+                                 for m in messages])
+        assert eng._match_prefix(rendered) is not None
+        _, warm = post(f"http://127.0.0.1:{port_warm}/v1/chat/completions",
+                       {"messages": messages, "max_tokens": 8})
+        assert warm["choices"][0]["message"] == cold["choices"][0]["message"]
+    finally:
+        srv_cold.shutdown()
+        srv_warm.shutdown()

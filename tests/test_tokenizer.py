@@ -173,6 +173,21 @@ def test_chat_template_framing():
     assert ids == expected
 
 
+def test_render_prefix_tokens_is_exact_chat_prefix():
+    from llama_nuts_and_bolts_tpu.tokenizer import render_prefix_tokens
+
+    vocab = make_vocab()
+    sys_part = PromptPart("system", "Be brief.")
+    prefix = render_prefix_tokens([sys_part], vocab, RANKS)
+    for user_text in ("Hi?", "", "a much longer user question here"):
+        full = render_chat_tokens([sys_part, PromptPart("user", user_text)],
+                                  vocab, RANKS)
+        assert full[:len(prefix)] == prefix
+    # empty parts are skipped, matching render_chat_tokens
+    assert render_prefix_tokens([PromptPart("system", "")], vocab, RANKS) == [
+        SPECIAL["<|begin_of_text|>"]]
+
+
 def test_chat_template_skips_empty_parts():
     vocab = make_vocab()
     with_empty = render_chat_tokens(
