@@ -75,6 +75,17 @@ def sync(x) -> None:
 
 RESULTS = {}
 
+def _note(section: str, exc: Exception) -> None:
+    """Section failures must be visible: JSON stays on stdout, this on stderr."""
+    print(f"bench: section {section!r} skipped: {type(exc).__name__}: {exc}",
+          file=sys.stderr, flush=True)
+
+
+def _mark(section: str) -> None:
+    print(f"bench: section {section!r} start t={time.perf_counter() - BENCH_T0:.0f}s",
+          file=sys.stderr, flush=True)
+
+
 
 def emit_results() -> None:
     """Print the one JSON line from whatever has been measured so far."""
@@ -90,6 +101,8 @@ def emit_results() -> None:
 def _deadline(_sig, _frm):
     # hard wall-clock guard: always emit the JSON line, even if the device
     # stalls mid-section (tunnel congestion is a known failure mode here)
+    print(f"bench: wall-clock deadline hit; sections measured: "
+          f"{sorted(RESULTS.get('detail', {}))}", file=sys.stderr, flush=True)
     emit_results()
     os._exit(0)
 
@@ -127,6 +140,7 @@ def main() -> None:
     prompt = jnp.ones((1, PREFILL_LEN), dtype=jnp.int32)
     cache = KVCache.create(cfg, 1, SEQ_CAP)
 
+    _mark("bf16")
     # warm-up: compile prefill + decode loop
     t0 = time.perf_counter()
     logits, cache = fwd(params, cfg, prompt, 0, cache)
@@ -182,6 +196,7 @@ def main() -> None:
 
     if time.perf_counter() - BENCH_T0 < 420:  # stay inside the time budget
         try:
+            _mark("batch16")
             decode_batch_jit = jax.jit(decode_batch, donate_argnums=(1,))
             bcache = KVCache.create(cfg, BATCH, SEQ_CAP)
             toks_b, bcache = decode_batch_jit(params, bcache, bt, 1)
@@ -193,14 +208,15 @@ def main() -> None:
             batch_toks_per_s = BATCH * DECODE_STEPS / (time.perf_counter() - t0)
             RESULTS["detail"]["batch16_decode_total_tokens_per_s"] = round(batch_toks_per_s, 2)
             del bcache
-        except Exception:
-            pass
+        except Exception as exc:
+            _note('batch16', exc)
 
     # 8K long-context decode (BASELINE config #3): same weights, scaled-RoPE
     # tables extended to 16K positions, decode steps attending a nearly-full
     # 8192-slot cache — measures the deep-cache read + mask cost
     if time.perf_counter() - BENCH_T0 < 420:
         try:
+            _mark("8k_context")
             import dataclasses
 
             cfg_8k = dataclasses.replace(cfg, max_sequence_length=8192)
@@ -234,8 +250,8 @@ def main() -> None:
             RESULTS["detail"]["decode_8k_context_tokens_per_s"] = round(
                 DECODE_STEPS / (time.perf_counter() - t0), 2)
             del params8k, kcache
-        except Exception:
-            pass
+        except Exception as exc:
+            _note('8k_context', exc)
 
     # free the bf16 24L params (12.6 GB) before the full-8B quantized sections
     del params
@@ -249,6 +265,7 @@ def main() -> None:
     try:
         if time.perf_counter() - BENCH_T0 > 400:
             raise TimeoutError("time budget exhausted; skipping int4 section")
+        _mark("int4")
         from llama_nuts_and_bolts_tpu.quant import init_random_params_q4, nativize_q4
 
         q4params = init_random_params_q4(cfg8, jax.random.PRNGKey(0))
@@ -321,14 +338,15 @@ def main() -> None:
                 DECODE_STEPS / (time.perf_counter() - t0), 2)
             del q4p8k, kc
         del q4params
-    except Exception:
-        pass
+    except Exception as exc:
+        _note('int4', exc)
 
     # FULL 32-layer 8B with int8 weight-only quantization: 8.6 GB of weights
     # fits a single chip, and bandwidth-bound decode gains ~2x per byte saved
     try:
         if time.perf_counter() - BENCH_T0 > 430:
             raise TimeoutError("time budget exhausted; skipping int8 section")
+        _mark("int8")
         from llama_nuts_and_bolts_tpu.quant import init_random_params_q8
 
         qparams = init_random_params_q8(cfg8, jax.random.PRNGKey(0))
@@ -357,8 +375,8 @@ def main() -> None:
         q8_toks_per_s = DECODE_STEPS / (time.perf_counter() - t0)
         RESULTS["detail"]["full_8b_32L_int8_decode_tokens_per_s"] = round(q8_toks_per_s, 2)
         del qparams, qcache
-    except Exception:
-        pass
+    except Exception as exc:
+        _note('int8', exc)
 
     signal.alarm(0)
     emit_results()
