@@ -1,0 +1,240 @@
+"""Paged KV cache: a shared block pool + per-request block tables.
+
+The dense ``KVCache`` reserves ``max_seq`` slots per batch row, so a
+continuous-batching server pays for its longest possible context times its
+slot count whether requests use it or not. Here the cache is a POOL of
+fixed-size blocks shared by every request (vLLM's PagedAttention idea,
+rebuilt TPU-first); a request holds exactly ``ceil(len/bs)`` blocks and
+releases them on completion, so the HBM footprint tracks live tokens, not
+worst-case slots x context.
+
+TPU-first design notes:
+
+  * static shapes everywhere: the pool ``[L, n_blocks, KV, bs, D]`` and the
+    block tables ``[B, max_blocks]`` are fixed at construction; growing a
+    request = the HOST allocator writing a new block id into its table row —
+    no device reshape, no recompilation.
+  * block size is a sublane multiple (default 32) so each block
+    ``[KV, bs, D]`` is a whole number of bf16 (16, 128) memory tiles: block
+    reads/writes never straddle tile boundaries.
+  * unallocated table entries point at block 0, a reserved TRASH block:
+    prefill's padded tail chunks and freed slots' pad-token steps write
+    there, and the attention mask (``t <= pos``) guarantees trash is never
+    read into a real result — the same garbage-is-overwritten-or-masked
+    argument the dense continuous batcher uses.
+  * prefill never reads the pool: a fresh request starts at position 0, so
+    its prompt self-attention is computed from the just-projected k/v with a
+    causal mask, and the rows are then written out block by block.
+  * decode attention has two paths: an XLA gather path (correctness oracle,
+    works on CPU) and a Pallas kernel (kernels/paged_attention.py) whose
+    grid walks each row's block table via scalar prefetch — only the blocks
+    a request actually owns are streamed from HBM.
+
+The reference has no batching or cache sharing at all — its InferenceContext
+is one preallocated [seq_len, 8, 128] tensor per layer per generation
+(reference: src/model/inferencecontext.go:29-43); this is the
+production-serving replacement for that capability.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+from llama_nuts_and_bolts_tpu.models.llama.model import LlamaParams
+from llama_nuts_and_bolts_tpu.models.llama.rope import apply_rope
+from llama_nuts_and_bolts_tpu.ops import gqa_attention, linear, rms_norm, swiglu
+
+TRASH_BLOCK = 0
+DEFAULT_BLOCK_SIZE = 32
+
+
+@struct.dataclass
+class PagedKVPool:
+    """Shared block pool. ``k``/``v``: [L, n_blocks, KV, block_size, D]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @classmethod
+    def create(cls, cfg: ModelArgs, n_blocks: int,
+               block_size: int = DEFAULT_BLOCK_SIZE,
+               dtype=jnp.bfloat16) -> "PagedKVPool":
+        if n_blocks < 2:
+            raise ValueError("need at least one real block beyond the trash block")
+        shape = (cfg.n_layers, n_blocks, cfg.kv_heads, block_size, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def block_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def n_blocks(self) -> int:
+        return self.k.shape[1]
+
+
+def _write_rows(pool_layer: jnp.ndarray, rows: jnp.ndarray,
+                blocks: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    """Write per-row k/v vectors into a layer's pool.
+
+    pool_layer: [n_blocks, KV, bs, D]; rows: [B, KV, D];
+    blocks/offsets: [B] int32. Sequential over B (B is the slot count, small);
+    duplicate (block, offset) pairs only occur for trash writes.
+    """
+    B = rows.shape[0]
+
+    def body(b, pl_):
+        upd = rows[b][None, :, None, :].astype(pl_.dtype)     # [1, KV, 1, D]
+        return lax.dynamic_update_slice(pl_, upd, (blocks[b], 0, offsets[b], 0))
+
+    return lax.fori_loop(0, B, body, pool_layer)
+
+
+def _write_chunks(pool_layer: jnp.ndarray, rows: jnp.ndarray,
+                  table_row: jnp.ndarray) -> jnp.ndarray:
+    """Write a prompt's k/v rows block by block.
+
+    pool_layer: [n_blocks, KV, bs, D]; rows: [1, KV, S, D] with S a multiple
+    of bs; table_row: [max_blocks] int32 (entries beyond S/bs are trash and
+    harmlessly overwritten there).
+    """
+    bs = pool_layer.shape[2]
+    S = rows.shape[2]
+    n_chunks = S // bs
+
+    def body(i, pl_):
+        chunk = lax.dynamic_slice(
+            rows, (0, 0, i * bs, 0),
+            (1, rows.shape[1], bs, rows.shape[3]))[0]          # [KV, bs, D]
+        return lax.dynamic_update_slice(
+            pl_, chunk[None].astype(pl_.dtype), (table_row[i], 0, 0, 0))
+
+    return lax.fori_loop(0, n_chunks, body, pool_layer)
+
+
+def _gathered_attention(q, pool_k, pool_v, tables, positions):
+    """XLA paged-attention path: gather each row's blocks, then dense GQA.
+
+    q: [B, 1, H, D]; pool_k/v: [n_blocks, KV, bs, D]; tables: [B, M];
+    positions: [B]. Visible slots are t <= positions[b].
+    """
+    B, M = tables.shape
+    KV, bs, D = pool_k.shape[1:]
+    k = jnp.take(pool_k, tables, axis=0)                       # [B, M, KV, bs, D]
+    v = jnp.take(pool_v, tables, axis=0)
+    k = k.transpose(0, 2, 1, 3, 4).reshape(B, KV, M * bs, D)
+    v = v.transpose(0, 2, 1, 3, 4).reshape(B, KV, M * bs, D)
+    t = lax.broadcasted_iota(jnp.int32, (B, 1, M * bs), 2)
+    mask = jnp.where(t <= positions[:, None, None], 0.0, -jnp.inf).astype(jnp.float32)
+    return gqa_attention(q, k, v, mask)
+
+
+def paged_decode_step(
+    params: LlamaParams,
+    cfg: ModelArgs,
+    tokens: jnp.ndarray,      # int32 [B, 1]
+    positions: jnp.ndarray,   # int32 [B] — write/attend position per row
+    pool: PagedKVPool,
+    tables: jnp.ndarray,      # int32 [B, max_blocks]
+    attn_impl: str = "xla",   # "xla" | "pallas"
+) -> Tuple[jnp.ndarray, PagedKVPool]:
+    """One batched decode step over paged caches. Returns (logits [B, vocab],
+    updated pool). Rows whose table is all-trash still step harmlessly."""
+    B = tokens.shape[0]
+    H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+    bs = pool.block_size
+
+    x = jnp.take(params.tok_embeddings, tokens, axis=0)        # [B, 1, dim]
+    cos = jnp.take(params.rope_cos, positions, axis=0)[:, None, :]  # [B,1,D/2]
+    sin = jnp.take(params.rope_sin, positions, axis=0)[:, None, :]
+    blocks = jnp.take_along_axis(
+        tables, (positions // bs)[:, None], axis=1)[:, 0]      # [B]
+    offsets = positions % bs
+
+    def block_fn(x, scanned):
+        w, pk, pv = scanned                                    # pk/pv [n_blocks,KV,bs,D]
+        h = rms_norm(x, w["attn_norm"], cfg.norm_eps)
+        q = linear(h, w["wq"]).reshape(B, 1, H, D)
+        k = linear(h, w["wk"]).reshape(B, 1, KV, D)
+        v = linear(h, w["wv"]).reshape(B, 1, KV, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        pk = _write_rows(pk, k[:, 0], blocks, offsets)
+        pv = _write_rows(pv, v[:, 0], blocks, offsets)
+        if attn_impl == "pallas":
+            from llama_nuts_and_bolts_tpu.kernels.paged_attention import (
+                paged_flash_decode,
+            )
+
+            att = paged_flash_decode(q, pk, pv, tables, positions)
+        else:
+            att = _gathered_attention(q, pk, pv, tables, positions)
+        x = x + linear(att.reshape(B, 1, H * D), w["wo"])
+        h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
+        x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
+        return x, (pk, pv)
+
+    x, (pk_new, pv_new) = lax.scan(block_fn, x, (params.layers, pool.k, pool.v))
+    x = rms_norm(x, params.norm, cfg.norm_eps)
+    logits = linear(x[:, 0], params.output, out_dtype=jnp.float32)  # [B, vocab]
+    return logits, PagedKVPool(k=pk_new, v=pv_new)
+
+
+def paged_prefill(
+    params: LlamaParams,
+    cfg: ModelArgs,
+    tokens: jnp.ndarray,      # int32 [1, S], S % block_size == 0 (padded)
+    logits_at,                # traced int32: prompt's last real row
+    pool: PagedKVPool,
+    table_row: jnp.ndarray,   # int32 [max_blocks] — this request's blocks
+) -> Tuple[jnp.ndarray, PagedKVPool]:
+    """Prefill a fresh request (positions 0..S-1) into its pool blocks.
+
+    Never reads the pool: prompt self-attention runs on the just-projected
+    k/v with a causal mask. Returns (logits [1, vocab] at ``logits_at``,
+    updated pool). Padded tail rows land in trash or are overwritten by
+    later decode writes before any visible query can attend them.
+    """
+    B, S = tokens.shape
+    if B != 1:
+        raise ValueError("paged_prefill handles one request at a time")
+    if S % pool.block_size:
+        raise ValueError(f"prefill length {S} must be a multiple of the "
+                         f"block size {pool.block_size}")
+    H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+
+    x = jnp.take(params.tok_embeddings, tokens, axis=0)
+    cos = params.rope_cos[:S][None]                            # [1, S, D/2]
+    sin = params.rope_sin[:S][None]
+    rows = lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    mask = jnp.where(cols <= rows, 0.0, -jnp.inf).astype(jnp.float32)[None]
+
+    def block_fn(x, scanned):
+        w, pk, pv = scanned
+        h = rms_norm(x, w["attn_norm"], cfg.norm_eps)
+        q = linear(h, w["wq"]).reshape(B, S, H, D)
+        k = linear(h, w["wk"]).reshape(B, S, KV, D)
+        v = linear(h, w["wv"]).reshape(B, S, KV, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin).transpose(0, 2, 1, 3)      # [1, KV, S, D]
+        v = v.transpose(0, 2, 1, 3)
+        pk = _write_chunks(pk, k, table_row)
+        pv = _write_chunks(pv, v, table_row)
+        att = gqa_attention(q, k, v, mask)
+        x = x + linear(att.reshape(B, S, H * D), w["wo"])
+        h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
+        x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
+        return x, (pk, pv)
+
+    x, (pk_new, pv_new) = lax.scan(block_fn, x, (params.layers, pool.k, pool.v))
+    x = lax.dynamic_slice_in_dim(x, logits_at, 1, axis=1)      # [1, 1, dim]
+    x = rms_norm(x, params.norm, cfg.norm_eps)
+    logits = linear(x[:, 0], params.output, out_dtype=jnp.float32)
+    return logits, PagedKVPool(k=pk_new, v=pv_new)

@@ -156,9 +156,11 @@ class ContinuousBatcher:
             self._pos[slot] = plen
             self._emit(slot, int(first))
 
-    def _emit(self, slot: int, tok: int) -> None:
+    def _emit(self, slot: int, tok: int, force_finish: bool = False) -> None:
         """Classify + deliver one generated token for the request in ``slot``
-        (same stop rules as the sequential engine loop)."""
+        (same stop rules as the sequential engine loop). ``force_finish``
+        ends the request after this token even if no stop rule fired (the
+        paged batcher uses it when the block pool is exhausted)."""
         req = self.slots[slot]
         req.produced += 1
         state = GenerationState.IN_PROGRESS
@@ -168,13 +170,19 @@ class ContinuousBatcher:
             state = GenerationState.FINISHED_BY_REACHING_SEQ_LEN
         elif req.produced >= req.max_new_tokens:
             state = GenerationState.FINISHED_BY_REACHING_SEQ_LEN
+        elif force_finish:
+            state = GenerationState.FINISHED_BY_REACHING_SEQ_LEN
         req.out.put((state, tok))
         if state != GenerationState.IN_PROGRESS:
-            # free the slot; while free it keeps stepping with a pad token —
-            # garbage writes are provably overwritten by the next occupant
-            # before any of its query rows can attend them
-            self.slots[slot] = None
-            self._feed[slot] = 0
+            self._release_slot(slot)
+
+    def _release_slot(self, slot: int) -> None:
+        """Free the slot; while free it keeps stepping with a pad token —
+        garbage writes are provably overwritten by the next occupant before
+        any of its query rows can attend them. (The paged batcher extends
+        this to return the request's blocks to the pool.)"""
+        self.slots[slot] = None
+        self._feed[slot] = 0
 
     def step(self) -> None:
         with self._lock:

@@ -1,0 +1,206 @@
+"""Paged continuous batching: block-pool memory management for the scheduler.
+
+``ContinuousBatcher`` reserves a full dense cache row per slot
+(slots x max_seq positions resident whether used or not). ``PagedBatcher``
+replaces the rows with a shared block pool (models/llama/paged.py): a
+request holds ``pos // bs + 1`` blocks at any moment, takes them
+incrementally as it decodes, and returns them the instant it finishes — HBM
+tracks live tokens, so the same pool admits far more concurrent requests
+than dense slots would (or the same requests in far less memory).
+
+Scheduling policy (host-side, O(slots) per step):
+  * admission needs ``prompt_len // bs + 1`` free blocks (prompt + the next
+    write position); requests that don't fit wait in FIFO order — admission
+    never preempts running requests.
+  * decode growth takes one block each time a request crosses a block
+    boundary; if the pool is empty at that moment the request finishes
+    gracefully after its current token (FINISHED_BY_REACHING_SEQ_LEN), the
+    same backstop the dense batcher hits at the context cap.
+  * free slots keep stepping with a pad token into the TRASH block
+    (block 0) — the paged twin of the dense batcher's garbage-write
+    argument.
+
+The reference processes exactly one request at a time with a preallocated
+per-generation cache (src/model/inferencecontext.go:29-43); this subsystem
+is the production-serving capability built on top of that parity.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import queue
+from collections import deque
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_nuts_and_bolts_tpu.models.llama.paged import (
+    DEFAULT_BLOCK_SIZE,
+    TRASH_BLOCK,
+    PagedKVPool,
+    paged_decode_step,
+    paged_prefill,
+)
+from llama_nuts_and_bolts_tpu.runtime.continuous import ContinuousBatcher, Request
+
+
+class BlockAllocator:
+    """Free-list allocator over pool block ids (block 0 is reserved trash)."""
+
+    def __init__(self, n_blocks: int, block_size: int) -> None:
+        self.n_blocks = n_blocks
+        self.block_size = block_size
+        self._free: deque[int] = deque(range(1, n_blocks))
+
+    @property
+    def available(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        """n blocks, or None (all-or-nothing) if the pool can't supply them."""
+        if n < 0 or len(self._free) < n:
+            return None
+        return [self._free.popleft() for _ in range(n)]
+
+    def free(self, blocks: List[int]) -> None:
+        for b in blocks:
+            if not 0 < b < self.n_blocks:
+                raise ValueError(f"freeing invalid block id {b}")
+        self._free.extend(blocks)
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))
+def _prefill_jit(params, cfg, tokens, logits_at, pool, table_row):
+    logits, pool = paged_prefill(params, cfg, tokens, logits_at, pool, table_row)
+    return jnp.argmax(logits[0]).astype(jnp.int32), pool
+
+
+@functools.partial(jax.jit, static_argnums=(1, 6), donate_argnums=(4,))
+def _decode_jit(params, cfg, tokens, positions, pool, tables, attn_impl):
+    logits, pool = paged_decode_step(params, cfg, tokens, positions, pool,
+                                     tables, attn_impl=attn_impl)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), pool
+
+
+class PagedBatcher(ContinuousBatcher):
+    """Continuous batcher over a paged KV pool.
+
+    ``n_blocks`` sizes the pool (default: enough for every slot at full
+    context — set it lower to realize the memory saving); ``attn_impl``
+    picks the decode-attention path ("pallas" streams only owned blocks,
+    "xla" is the gather-based oracle that also runs on CPU).
+    """
+
+    def __init__(self, engine, n_slots: int = 8,
+                 n_blocks: Optional[int] = None,
+                 block_size: int = DEFAULT_BLOCK_SIZE,
+                 attn_impl: str = "xla") -> None:
+        import threading
+
+        self.engine = engine
+        self.cfg = engine.model.cfg
+        self.vocab = engine.model.vocab
+        self.n_slots = n_slots
+        self.seq_len = engine.seq_len
+        self.attn_impl = attn_impl
+        self.block_size = block_size
+        self.max_blocks = math.ceil(self.seq_len / block_size)
+        if n_blocks is None:
+            n_blocks = 1 + n_slots * self.max_blocks
+        self.pool = PagedKVPool.create(self.cfg, n_blocks, block_size)
+        self.allocator = BlockAllocator(n_blocks, block_size)
+        self.tables = np.full((n_slots, self.max_blocks), TRASH_BLOCK, np.int32)
+        self._slot_blocks: List[List[int]] = [[] for _ in range(n_slots)]
+        self.slots: List[Optional[Request]] = [None] * n_slots
+        self._feed = np.zeros(n_slots, dtype=np.int32)
+        self._pos = np.zeros(n_slots, dtype=np.int32)
+        self.pending: "queue.Queue[Request]" = queue.Queue()
+        self._stalled: deque[Request] = deque()   # admitted-order, pool-starved
+        self._lock = threading.Lock()
+
+    @property
+    def has_work(self) -> bool:
+        return super().has_work or bool(self._stalled)
+
+    # ------------------------------------------------------------ internal
+
+    def _next_waiting(self) -> Optional[Request]:
+        if self._stalled:
+            return self._stalled.popleft()
+        try:
+            return self.pending.get_nowait()
+        except queue.Empty:
+            return None
+
+    def _release_slot(self, slot: int) -> None:
+        self.allocator.free(self._slot_blocks[slot])
+        self._slot_blocks[slot] = []
+        self.tables[slot, :] = TRASH_BLOCK
+        super()._release_slot(slot)
+
+    def _admit(self) -> None:
+        from llama_nuts_and_bolts_tpu.runtime.engine import prefill_bucket
+
+        bs = self.block_size
+        for slot in range(self.n_slots):
+            if self.slots[slot] is not None:
+                continue
+            req = self._next_waiting()
+            if req is None:
+                return
+            plen = len(req.prompt)
+            blocks = self.allocator.alloc(plen // bs + 1)  # prompt + next write
+            if blocks is None:
+                # FIFO: wait for frees; nothing behind this request may jump it
+                self._stalled.appendleft(req)
+                return
+            self._slot_blocks[slot] = blocks
+            self.tables[slot, :] = TRASH_BLOCK
+            self.tables[slot, :len(blocks)] = blocks
+            # prefill length: bucket rounded up to whole blocks
+            bucket = prefill_bucket(plen, self.seq_len)
+            bucket = min(-(-bucket // bs) * bs, self.max_blocks * bs)
+            padded = np.zeros((1, bucket), dtype=np.int32)
+            padded[0, :plen] = req.prompt
+            first, self.pool = _prefill_jit(
+                self.engine.model.params, self.cfg, jnp.asarray(padded),
+                plen - 1, self.pool, jnp.asarray(self.tables[slot]))
+            req.slot = slot
+            self.slots[slot] = req
+            self._feed[slot] = int(first)
+            self._pos[slot] = plen
+            self._emit(slot, int(first))
+
+    def step(self) -> None:
+        with self._lock:
+            self._admit()
+            if not any(r is not None for r in self.slots):
+                return
+            # invariant: every active slot's current write position is backed
+            nxt, self.pool = _decode_jit(
+                self.engine.model.params, self.cfg,
+                jnp.asarray(self._feed[:, None]), jnp.asarray(self._pos),
+                self.pool, jnp.asarray(self.tables), self.attn_impl)
+            nxt = np.asarray(nxt)
+            pos_cap = self.max_blocks * self.block_size - 1
+            for slot in range(self.n_slots):
+                active = self.slots[slot] is not None
+                self._pos[slot] = min(int(self._pos[slot]) + 1, pos_cap)
+                if not active:
+                    continue
+                self._feed[slot] = int(nxt[slot])
+                # back the NEXT write position before emitting, so a pool-dry
+                # moment turns into a graceful finish after this token
+                force_finish = False
+                bi = int(self._pos[slot]) // self.block_size
+                if bi >= len(self._slot_blocks[slot]) and bi < self.max_blocks:
+                    grown = self.allocator.alloc(1)
+                    if grown is None:
+                        force_finish = True
+                    else:
+                        self._slot_blocks[slot].extend(grown)
+                        self.tables[slot, bi] = grown[0]
+                self._emit(slot, int(nxt[slot]), force_finish=force_finish)

@@ -22,6 +22,9 @@ def main(argv=None) -> int:
     p.add_argument("--continuous", type=int, default=0, metavar="SLOTS",
                    help="continuous batching: greedy requests share decode "
                         "steps across SLOTS cache slots (0 disables)")
+    p.add_argument("--paged-blocks", type=int, default=0, metavar="N",
+                   help="with --continuous: use a paged KV cache of N shared "
+                        "blocks instead of dense per-slot rows")
     p.add_argument("--kv-cache", choices=["bf16", "int8"], default="bf16",
                    help="KV cache dtype (int8 halves cache traffic)")
     p.add_argument("--prefill-chunk", type=int, default=0, metavar="C",
@@ -66,7 +69,8 @@ def main(argv=None) -> int:
         engine.cache_prefix(render_prefix_tokens(
             [PromptPart("system", args.cache_system_prompt)],
             model.vocab, model.mergeable_ranks))
-    serve(engine, args.host, args.port, name, continuous_slots=args.continuous)
+    serve(engine, args.host, args.port, name, continuous_slots=args.continuous,
+          paged_blocks=args.paged_blocks)
     return 0
 
 

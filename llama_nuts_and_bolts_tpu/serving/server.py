@@ -39,16 +39,24 @@ from llama_nuts_and_bolts_tpu.utils.logging import get_logger
 
 class LlamaHTTPServer:
     def __init__(self, engine: InferenceEngine, model_name: str = "llama-3.1-8b-instruct",
-                 continuous_slots: int = 0):
+                 continuous_slots: int = 0, paged_blocks: int = 0):
         self.engine = engine
         self.model_name = model_name
         self._gen_lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self.batcher = None
         if continuous_slots > 0:
-            from llama_nuts_and_bolts_tpu.runtime.continuous import ContinuousBatcher
+            if paged_blocks:
+                from llama_nuts_and_bolts_tpu.runtime.paged import PagedBatcher
 
-            self.batcher = ContinuousBatcher(engine, n_slots=continuous_slots)
+                self.batcher = PagedBatcher(engine, n_slots=continuous_slots,
+                                            n_blocks=paged_blocks)
+            else:
+                from llama_nuts_and_bolts_tpu.runtime.continuous import (
+                    ContinuousBatcher,
+                )
+
+                self.batcher = ContinuousBatcher(engine, n_slots=continuous_slots)
             self.batcher.serve_forever_in_thread()
 
     # ------------------------------------------------------------ requests
@@ -164,6 +172,13 @@ class LlamaHTTPServer:
                             "active": sum(r is not None for r in b.slots),
                             "pending": b.pending.qsize(),
                         }
+                        if hasattr(b, "allocator"):
+                            info["continuous"]["paged"] = {
+                                "block_size": b.block_size,
+                                "blocks_total": b.allocator.n_blocks - 1,
+                                "blocks_free": b.allocator.available,
+                                "stalled": len(b._stalled),
+                            }
                     self._json(200, info)
                 elif self.path == "/v1/models":
                     self._json(200, {"object": "list", "data": [
@@ -289,6 +304,7 @@ class LlamaHTTPServer:
 
 
 def serve(engine: InferenceEngine, host: str = "0.0.0.0", port: int = 8000,
-          model_name: str = "llama-3.1-8b-instruct", continuous_slots: int = 0):
-    LlamaHTTPServer(engine, model_name,
-                    continuous_slots=continuous_slots).serve_forever(host, port)
+          model_name: str = "llama-3.1-8b-instruct", continuous_slots: int = 0,
+          paged_blocks: int = 0):
+    LlamaHTTPServer(engine, model_name, continuous_slots=continuous_slots,
+                    paged_blocks=paged_blocks).serve_forever(host, port)
