@@ -77,6 +77,10 @@ def parse_args(argv=None):
     p.add_argument("--kv-cache", choices=["bf16", "int8"], default="bf16",
                    help="KV cache dtype (int8 halves cache traffic and "
                         "doubles the context that fits)")
+    p.add_argument("--draft-model", default=None, metavar="DIR",
+                   help="with --speculate: directory of a smaller Llama "
+                        "checkpoint used as the speculation draft model "
+                        "(default: n-gram prompt lookup, no second model)")
     p.add_argument("--speculate", type=int, default=0, metavar="K",
                    help="n-gram prompt-lookup speculative decoding: verify up "
                         "to K drafts per step (greedy only; 0 disables)")
@@ -253,6 +257,14 @@ def main(argv=None) -> int:
         if app.prompt_text:
             app.update_output()
 
+    draft = None
+    if args.draft_model:
+        from llama_nuts_and_bolts_tpu.models.llama.loader import load_llama_model
+
+        draft = load_llama_model(args.draft_model,
+                                 max_sequence_length=args.seq_len)
+        print(f'Draft model "{args.draft_model}" was loaded.\n')
+
     engine = InferenceEngine(
         model,
         InferenceArgs(sequence_length=args.seq_len, temperature=args.temperature,
@@ -260,6 +272,7 @@ def main(argv=None) -> int:
                       speculate_k=args.speculate, kv_cache_dtype=args.kv_cache,
                       prefill_chunk=args.prefill_chunk),
         log_fn=live_log,
+        draft_model=draft,
     )
 
     if args.prompt is not None:

@@ -31,6 +31,7 @@ from llama_nuts_and_bolts_tpu.runtime.detokenizer import (
     token_to_string,
 )
 from llama_nuts_and_bolts_tpu.runtime.speculative import (
+    DraftModelProposer,
     NgramProposer,
     longest_accepted_prefix,
 )
@@ -56,9 +57,12 @@ def prefill_bucket(prompt_len: int, cap: int) -> int:
 
 class InferenceEngine:
     def __init__(self, model: LoadedModel, args: Optional[InferenceArgs] = None,
-                 log_fn=None) -> None:
+                 log_fn=None, draft_model: Optional[LoadedModel] = None) -> None:
         self.model = model
         self.args = args or InferenceArgs()
+        # optional smaller Llama used as the speculation proposer (two-model
+        # speculative decoding); None falls back to n-gram prompt lookup
+        self.draft_model = draft_model
         self.seq_len = self.args.sequence_length or model.cfg.max_sequence_length
         self.log = log_fn or (lambda fmt, *a: get_logger().debug(fmt, *a))
         # one executable per (batch, seqlen-bucket); decode step is S=1
@@ -258,7 +262,11 @@ class InferenceEngine:
         k = self.args.speculate_k
         logits, cache = self._prefill(prompt_tokens)
         queue = [int(jnp.argmax(logits[0, 0]))]
-        proposer = NgramProposer(list(prompt_tokens))
+        if self.draft_model is not None:
+            proposer = DraftModelProposer(self.draft_model, list(prompt_tokens),
+                                          self.seq_len)
+        else:
+            proposer = NgramProposer(list(prompt_tokens))
         self.spec_stats = {"steps": 0, "spec_steps": 0, "drafted": 0, "accepted": 0}
         n_ctx = len(prompt_tokens)
 

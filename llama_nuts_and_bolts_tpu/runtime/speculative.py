@@ -64,3 +64,69 @@ def longest_accepted_prefix(drafts: Sequence[int], preds: Sequence[int]) -> int:
             break
         n += 1
     return n
+
+
+class DraftModelProposer:
+    """Draft-MODEL speculation: a smaller Llama proposes the k tokens.
+
+    Same ``extend``/``propose`` surface as :class:`NgramProposer`, so the
+    engine's verify loop is shared — and exact greedy equivalence holds for
+    ANY draft (every emitted token is still validated by the target's own
+    argmax); a better draft only raises the acceptance rate. Classic
+    two-model speculative decoding (Leviathan et al.), greedy-specialized.
+
+    Device-state discipline (the part the n-gram proposer never needed): the
+    draft keeps its OWN KV cache. ``extend`` is host-only; ``propose`` first
+    CATCHES UP — one padded forward over the context tokens the cache hasn't
+    absorbed (position ``p``'s row is rewritten before any later query can
+    see it, so draft rows from rejected speculation are harmlessly
+    overwritten) — then drafts autoregressively. Catch-up lengths are padded
+    to power-of-two buckets so the step reuses a handful of executables.
+    """
+
+    def __init__(self, draft_model, context: Sequence[int], seq_len: int) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from llama_nuts_and_bolts_tpu.models.llama.model import KVCache, forward
+
+        if draft_model.cfg.vocab_size < draft_model.vocab.size:
+            raise ValueError("draft model vocabulary is smaller than the tokenizer's")
+        self.model = draft_model
+        self.context: List[int] = list(context)
+        self.seq_len = seq_len
+        self._valid = 0                      # cache positions [0, _valid) final
+        self._cache = KVCache.create(draft_model.cfg, 1, seq_len)
+        self._fwd = jax.jit(forward, static_argnums=(1,),
+                            static_argnames=("attn_impl",), donate_argnums=(4,))
+        self._jnp = jnp
+
+    def extend(self, tokens: Sequence[int]) -> None:
+        self.context.extend(tokens)
+
+    def propose(self, k: int) -> List[int]:
+        jnp = self._jnp
+        L = len(self.context)
+        if k <= 0 or L + k > self.seq_len:
+            return []
+        # catch-up: feed the tokens the draft cache hasn't absorbed yet
+        fresh = self.context[self._valid:]
+        S = len(fresh)
+        bucket = 16
+        while bucket < S:
+            bucket *= 2
+        bucket = min(bucket, self.seq_len - self._valid)
+        padded = fresh + [fresh[-1]] * (bucket - S)
+        logits, self._cache = self._fwd(
+            self.model.params, self.model.cfg,
+            jnp.asarray([padded], jnp.int32), self._valid, self._cache,
+            attn_impl="xla", logits_at=S - 1)
+        drafts = [int(jnp.argmax(logits[0, 0]))]
+        for i in range(1, k):
+            step = jnp.asarray([[drafts[-1]]], jnp.int32)
+            logits, self._cache = self._fwd(
+                self.model.params, self.model.cfg, step, L + i - 1,
+                self._cache, attn_impl="xla")
+            drafts.append(int(jnp.argmax(logits[0, -1])))
+        self._valid = L
+        return drafts

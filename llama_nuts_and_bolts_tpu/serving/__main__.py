@@ -17,6 +17,9 @@ def main(argv=None) -> int:
                    help="serve the tiny random demo model (no weights needed)")
     p.add_argument("--quant", choices=["none", "int8", "int4"], default="none",
                    help="weight-only quantization (fits full 8B on one chip)")
+    p.add_argument("--draft-model", default=None, metavar="DIR",
+                   help="with --speculate: smaller Llama checkpoint dir used "
+                        "as the draft model (default: n-gram prompt lookup)")
     p.add_argument("--speculate", type=int, default=0, metavar="K",
                    help="n-gram prompt-lookup speculative decoding (greedy only)")
     p.add_argument("--continuous", type=int, default=0, metavar="SLOTS",
@@ -59,10 +62,17 @@ def main(argv=None) -> int:
                                  quant=None if args.quant == "none" else args.quant)
         name = "llama-3.1-8b-instruct"
 
+    draft = None
+    if args.draft_model:
+        from llama_nuts_and_bolts_tpu.models.llama.loader import load_llama_model
+
+        draft = load_llama_model(args.draft_model,
+                                 max_sequence_length=args.seq_len)
     engine = InferenceEngine(model, InferenceArgs(sequence_length=args.seq_len,
                                                   speculate_k=args.speculate,
                                                   kv_cache_dtype=args.kv_cache,
-                                                  prefill_chunk=args.prefill_chunk))
+                                                  prefill_chunk=args.prefill_chunk),
+                             draft_model=draft)
     if args.cache_system_prompt and not args.continuous:
         from llama_nuts_and_bolts_tpu.tokenizer import PromptPart, render_prefix_tokens
 

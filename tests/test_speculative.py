@@ -91,3 +91,85 @@ def test_speculation_ignored_when_sampling():
     out = list(eng.generate_tokens([1, 2, 3]))
     assert len(out) >= 1                  # sampled path runs, no spec stats
     assert not hasattr(eng, "spec_stats")
+
+
+# -------------------------------------------------- draft-model speculation
+
+def make_draft_engine(draft_seed, **args):
+    """Target engine (seed 0 weights, same as make_engine) plus a draft model
+    with ``draft_seed`` weights — seed 0 makes the draft identical."""
+    import jax
+
+    from llama_nuts_and_bolts_tpu.models.llama import init_random_params
+    from llama_nuts_and_bolts_tpu.models.llama.loader import LoadedModel
+    from llama_nuts_and_bolts_tpu.runtime import InferenceArgs, InferenceEngine
+    from tests.test_streaming import RANKS, TINY, VOCAB
+
+    def loaded(seed):
+        params = jax.jit(init_random_params, static_argnums=(0,))(
+            TINY, jax.random.PRNGKey(seed))
+        return LoadedModel(params=params, cfg=TINY, vocab=VOCAB,
+                           mergeable_ranks=RANKS, tensor_meta={})
+
+    return InferenceEngine(loaded(0), InferenceArgs(**args),
+                           draft_model=loaded(draft_seed))
+
+
+def test_draft_model_identical_draft_accepts_everything():
+    """Draft == target: every draft must be accepted and the output must be
+    the vanilla greedy sequence."""
+    prompt = [1, 5, 9]
+    vanilla = list(make_engine(sequence_length=32).generate_tokens(prompt))
+    eng = make_draft_engine(0, sequence_length=32, speculate_k=3)
+    out = list(eng.generate_tokens(prompt))
+    assert out == vanilla
+    stats = eng.spec_stats
+    assert stats["drafted"] > 0
+    assert stats["accepted"] == stats["drafted"]
+    assert stats["steps"] < len(out)      # accepted drafts saved device steps
+
+
+def test_draft_model_different_weights_exact_equivalence():
+    """A BAD draft (different random weights) may be rejected constantly but
+    the emitted sequence must still be exactly the vanilla greedy one."""
+    prompt = [1, 5, 9, 2]
+    vanilla = list(make_engine(sequence_length=24).generate_tokens(prompt))
+    eng = make_draft_engine(123, sequence_length=24, speculate_k=3)
+    out = list(eng.generate_tokens(prompt))
+    assert out == vanilla
+    assert eng.spec_stats["accepted"] <= eng.spec_stats["drafted"]
+
+
+def test_draft_proposer_state_survives_rejection():
+    """After a rejection (extend with tokens that differ from its own drafts)
+    the proposer's catch-up must leave it proposing exactly what a FRESH
+    proposer for the same context proposes."""
+    import jax
+
+    from llama_nuts_and_bolts_tpu.models.llama import init_random_params
+    from llama_nuts_and_bolts_tpu.models.llama.loader import LoadedModel
+    from llama_nuts_and_bolts_tpu.runtime.speculative import DraftModelProposer
+    from tests.test_streaming import RANKS, TINY, VOCAB
+
+    params = jax.jit(init_random_params, static_argnums=(0,))(
+        TINY, jax.random.PRNGKey(0))
+    model = LoadedModel(params=params, cfg=TINY, vocab=VOCAB,
+                        mergeable_ranks=RANKS, tensor_meta={})
+
+    ctx = [1, 5, 9, 2]
+    p = DraftModelProposer(model, ctx, seq_len=32)
+    first = p.propose(3)
+    assert len(first) == 3
+    # pretend the target rejected everything and emitted two other tokens
+    correction = [7, 3]
+    p.extend(correction)
+    fresh = DraftModelProposer(model, ctx + correction, seq_len=32)
+    assert p.propose(3) == fresh.propose(3)
+
+
+def test_draft_proposer_respects_seq_cap():
+    eng = make_draft_engine(0, sequence_length=8, speculate_k=4)
+    prompt = [1, 5, 9]
+    out = list(eng.generate_tokens(prompt))
+    vanilla = list(make_engine(sequence_length=8).generate_tokens(prompt))
+    assert out == vanilla
