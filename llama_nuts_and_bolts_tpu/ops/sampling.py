@@ -41,3 +41,43 @@ def sample_token(
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def sample_tokens_batched(
+    logits: jnp.ndarray,       # [B, vocab] fp32
+    keys: jnp.ndarray,         # [B, 2] uint32 — per-row base RNG keys
+    positions: jnp.ndarray,    # [B] int32 — folded into the key per step
+    temperature: jnp.ndarray,  # [B] fp32; rows <= 0 decode greedily
+    top_k: jnp.ndarray,        # [B] int32; rows <= 0 mean "no top-k"
+    top_p: jnp.ndarray,        # [B] fp32; rows >= 1 mean "no top-p"
+) -> jnp.ndarray:
+    """Row-wise sampling for a shared batched decode step (continuous
+    batching): every argument is traced, so one executable serves any mix of
+    greedy and differently-parameterized sampled requests. Determinism: the
+    step key is ``fold_in(key_row, position)`` — a request's tokens depend
+    only on its seed, prompt, and position, never on its batch neighbors."""
+    B, V = logits.shape
+    safe_t = jnp.where(temperature > 0.0, temperature, 1.0)[:, None]
+    scaled = logits / safe_t
+
+    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]               # [B, V]
+    # top-k: mask rows' logits below their k-th largest (k <= 0 -> keep all)
+    k_idx = jnp.clip(jnp.where(top_k > 0, top_k, V) - 1, 0, V - 1)
+    kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
+    scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    # top-p: keep the smallest prefix of the sorted distribution with
+    # cumulative probability >= top_p (p >= 1 keeps everything)
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p[:, None], axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_desc, jnp.minimum(cutoff_idx, V - 1),
+                                 axis=-1)
+    scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+
+    def draw(key, pos, row):
+        k = jax.random.fold_in(jax.random.wrap_key_data(key, impl="threefry2x32"),
+                               pos)
+        return jax.random.categorical(k, row)
+
+    sampled = jax.vmap(draw)(keys, positions, scaled).astype(jnp.int32)
+    return jnp.where(temperature > 0.0, sampled, greedy(logits))

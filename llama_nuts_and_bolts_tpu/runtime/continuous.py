@@ -19,8 +19,11 @@ along is nearly free. TPU-first design notes:
     forward that consumes the real token at p before any query row ≥ p runs
     (the same staleness argument as speculative verification).
 
-Greedy-only (matching the reference's argmax decode); per-request sampling
-inside a shared batch would entangle RNG streams across requests.
+Per-request sampling: each slot carries its own (temperature, top-k, top-p,
+seed); the decode step samples row-wise with ``fold_in(seed_key, position)``
+so a request's tokens depend only on its own seed, prompt, and position —
+never on its batch neighbors. Temperature 0 rows take the argmax path
+(exactly the reference's greedy decode, src/inference/inference.go:211).
 """
 
 from __future__ import annotations
@@ -37,7 +40,15 @@ import numpy as np
 from jax import lax
 
 from llama_nuts_and_bolts_tpu.models.llama.model import KVCache, forward
+from llama_nuts_and_bolts_tpu.ops.sampling import sample_tokens_batched
 from llama_nuts_and_bolts_tpu.runtime.types import GenerationState
+
+
+def make_base_key(seed: int) -> np.ndarray:
+    """Host-side twin of ``jax.random.PRNGKey`` (threefry2x32 key layout:
+    [seed >> 32, seed & 0xffffffff]) — no device round-trip per admission."""
+    seed = int(seed) & ((1 << 64) - 1)
+    return np.array([seed >> 32, seed & 0xFFFFFFFF], dtype=np.uint32)
 
 
 def _map_cache(fn, *caches: KVCache) -> KVCache:
@@ -48,25 +59,32 @@ def _map_cache(fn, *caches: KVCache) -> KVCache:
 
 
 @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))
-def _prefill_slot(params, cfg, tokens, logits_at, cache: KVCache, slot):
+def _prefill_slot(params, cfg, tokens, logits_at, cache: KVCache, slot,
+                  key, temp, top_k, top_p):
     """Run prefill for one request inside slot ``slot`` of the shared cache.
 
     ``tokens`` is [1, bucket] (padded); returns (first generated token [ ],
-    updated cache). One executable per bucket length; ``slot`` and
-    ``logits_at`` are traced."""
+    updated cache). One executable per bucket length; ``slot``,
+    ``logits_at``, and the sampling params are traced (greedy = temp 0)."""
     sub = _map_cache(lambda a: lax.dynamic_slice_in_dim(a, slot, 1, axis=1), cache)
     logits, sub = forward(params, cfg, tokens, 0, sub, logits_at=logits_at)
     cache = _map_cache(
         lambda a, s: lax.dynamic_update_slice_in_dim(a, s, slot, axis=1),
         cache, sub)
-    return jnp.argmax(logits[0, 0]).astype(jnp.int32), cache
+    tok = sample_tokens_batched(logits[:, 0], key[None], logits_at[None],
+                                temp[None], top_k[None], top_p[None])
+    return tok[0], cache
 
 
 @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))
-def _decode_step(params, cfg, tokens, positions, cache: KVCache):
-    """One shared decode step: tokens [B,1] at per-row ``positions`` [B]."""
+def _decode_step(params, cfg, tokens, positions, cache: KVCache,
+                 keys, temps, top_ks, top_ps):
+    """One shared decode step: tokens [B,1] at per-row ``positions`` [B];
+    each row greedy or sampled per its own traced parameters."""
     logits, cache = forward(params, cfg, tokens, positions, cache)
-    return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+    toks = sample_tokens_batched(logits[:, -1], keys, positions,
+                                 temps, top_ks, top_ps)
+    return toks, cache
 
 
 @dataclass
@@ -75,6 +93,11 @@ class Request:
 
     prompt: List[int]
     max_new_tokens: int
+    temperature: float = 0.0          # 0 = greedy (reference parity)
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: int = 0                     # with temperature > 0: reproducible,
+                                      # independent of batch neighbors
     out: "queue.Queue[Tuple[GenerationState, int]]" = field(
         default_factory=queue.Queue)
     slot: Optional[int] = None
@@ -109,19 +132,43 @@ class ContinuousBatcher:
         # per-slot feed token and position of that token (= next write pos)
         self._feed = np.zeros(n_slots, dtype=np.int32)
         self._pos = np.zeros(n_slots, dtype=np.int32)
+        self._init_sampling_state(n_slots)
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._lock = threading.Lock()
 
     # ------------------------------------------------------------- public
 
     def submit(self, prompt_tokens: Sequence[int],
-               max_new_tokens: int = 1 << 30) -> Request:
+               max_new_tokens: int = 1 << 30, temperature: float = 0.0,
+               top_k: int = 0, top_p: float = 1.0, seed: int = 0) -> Request:
         prompt = list(prompt_tokens)
         if not prompt or len(prompt) >= self.seq_len:
             raise ValueError("prompt must be non-empty and shorter than context")
-        req = Request(prompt=prompt, max_new_tokens=max_new_tokens)
+        req = Request(prompt=prompt, max_new_tokens=max_new_tokens,
+                      temperature=temperature, top_k=top_k, top_p=top_p,
+                      seed=seed)
         self.pending.put(req)
         return req
+
+    # ----------------------------------------------- per-slot sampling state
+
+    def _init_sampling_state(self, n_slots: int) -> None:
+        self._key = np.zeros((n_slots, 2), dtype=np.uint32)
+        self._temp = np.zeros(n_slots, dtype=np.float32)
+        self._topk = np.zeros(n_slots, dtype=np.int32)
+        self._topp = np.ones(n_slots, dtype=np.float32)
+
+    def _set_sampling(self, slot: int, req: Request) -> None:
+        self._key[slot] = make_base_key(req.seed)
+        self._temp[slot] = req.temperature
+        self._topk[slot] = req.top_k
+        self._topp[slot] = req.top_p
+
+    def _clear_sampling(self, slot: int) -> None:
+        self._key[slot] = 0
+        self._temp[slot] = 0.0
+        self._topk[slot] = 0
+        self._topp[slot] = 1.0
 
     @property
     def has_work(self) -> bool:
@@ -144,12 +191,15 @@ class ContinuousBatcher:
             except queue.Empty:
                 return
             plen = len(req.prompt)
+            self._set_sampling(slot, req)
             bucket = prefill_bucket(plen, self.seq_len)
             padded = np.zeros((1, bucket), dtype=np.int32)
             padded[0, :plen] = req.prompt
             first, self.cache = _prefill_slot(
                 self.engine.model.params, self.cfg, jnp.asarray(padded),
-                plen - 1, self.cache, slot)
+                plen - 1, self.cache, slot,
+                jnp.asarray(self._key[slot]), self._temp[slot],
+                self._topk[slot], self._topp[slot])
             req.slot = slot
             self.slots[slot] = req
             self._feed[slot] = int(first)
@@ -183,6 +233,7 @@ class ContinuousBatcher:
         this to return the request's blocks to the pool.)"""
         self.slots[slot] = None
         self._feed[slot] = 0
+        self._clear_sampling(slot)
 
     def step(self) -> None:
         with self._lock:
@@ -192,7 +243,9 @@ class ContinuousBatcher:
             toks = jnp.asarray(self._feed[:, None])
             poss = jnp.asarray(self._pos)
             nxt, self.cache = _decode_step(
-                self.engine.model.params, self.cfg, toks, poss, self.cache)
+                self.engine.model.params, self.cfg, toks, poss, self.cache,
+                jnp.asarray(self._key), jnp.asarray(self._temp),
+                jnp.asarray(self._topk), jnp.asarray(self._topp))
             nxt = np.asarray(nxt)
             for slot in range(self.n_slots):
                 active = self.slots[slot] is not None

@@ -44,6 +44,7 @@ from llama_nuts_and_bolts_tpu.models.llama.paged import (
     paged_decode_step,
     paged_prefill,
 )
+from llama_nuts_and_bolts_tpu.ops.sampling import sample_tokens_batched
 from llama_nuts_and_bolts_tpu.runtime.continuous import ContinuousBatcher, Request
 
 
@@ -73,16 +74,21 @@ class BlockAllocator:
 
 
 @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))
-def _prefill_jit(params, cfg, tokens, logits_at, pool, table_row):
+def _prefill_jit(params, cfg, tokens, logits_at, pool, table_row,
+                 key, temp, top_k, top_p):
     logits, pool = paged_prefill(params, cfg, tokens, logits_at, pool, table_row)
-    return jnp.argmax(logits[0]).astype(jnp.int32), pool
+    tok = sample_tokens_batched(logits, key[None], logits_at[None],
+                                temp[None], top_k[None], top_p[None])
+    return tok[0], pool
 
 
 @functools.partial(jax.jit, static_argnums=(1, 6), donate_argnums=(4,))
-def _decode_jit(params, cfg, tokens, positions, pool, tables, attn_impl):
+def _decode_jit(params, cfg, tokens, positions, pool, tables, attn_impl,
+                keys, temps, top_ks, top_ps):
     logits, pool = paged_decode_step(params, cfg, tokens, positions, pool,
                                      tables, attn_impl=attn_impl)
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32), pool
+    toks = sample_tokens_batched(logits, keys, positions, temps, top_ks, top_ps)
+    return toks, pool
 
 
 class PagedBatcher(ContinuousBatcher):
@@ -117,6 +123,7 @@ class PagedBatcher(ContinuousBatcher):
         self.slots: List[Optional[Request]] = [None] * n_slots
         self._feed = np.zeros(n_slots, dtype=np.int32)
         self._pos = np.zeros(n_slots, dtype=np.int32)
+        self._init_sampling_state(n_slots)
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._stalled: deque[Request] = deque()   # admitted-order, pool-starved
         self._lock = threading.Lock()
@@ -165,9 +172,12 @@ class PagedBatcher(ContinuousBatcher):
             bucket = min(-(-bucket // bs) * bs, self.max_blocks * bs)
             padded = np.zeros((1, bucket), dtype=np.int32)
             padded[0, :plen] = req.prompt
+            self._set_sampling(slot, req)
             first, self.pool = _prefill_jit(
                 self.engine.model.params, self.cfg, jnp.asarray(padded),
-                plen - 1, self.pool, jnp.asarray(self.tables[slot]))
+                plen - 1, self.pool, jnp.asarray(self.tables[slot]),
+                jnp.asarray(self._key[slot]), self._temp[slot],
+                self._topk[slot], self._topp[slot])
             req.slot = slot
             self.slots[slot] = req
             self._feed[slot] = int(first)
@@ -183,7 +193,9 @@ class PagedBatcher(ContinuousBatcher):
             nxt, self.pool = _decode_jit(
                 self.engine.model.params, self.cfg,
                 jnp.asarray(self._feed[:, None]), jnp.asarray(self._pos),
-                self.pool, jnp.asarray(self.tables), self.attn_impl)
+                self.pool, jnp.asarray(self.tables), self.attn_impl,
+                jnp.asarray(self._key), jnp.asarray(self._temp),
+                jnp.asarray(self._topk), jnp.asarray(self._topp))
             nxt = np.asarray(nxt)
             pos_cap = self.max_blocks * self.block_size - 1
             for slot in range(self.n_slots):

@@ -95,13 +95,21 @@ class LlamaHTTPServer:
         _pieces, text = self.engine.token_batch_to_string(ids)
         return text, finish, len(ids)
 
-    def generate(self, tokens, max_tokens: int, temperature: float):
+    def generate(self, tokens, max_tokens: int, temperature: float,
+                 top_k: int = 0, top_p: float = 1.0, seed=None):
         """Generation; yields (text_piece, finish_reason|None).
 
-        Greedy requests ride the continuous batcher when enabled (concurrent
-        requests share decode steps); otherwise generations serialize."""
-        if self.batcher is not None and temperature == 0.0:
-            req = self.batcher.submit(tokens, max_new_tokens=max_tokens)
+        With the continuous batcher enabled EVERY request rides it — greedy
+        and sampled alike (each slot samples row-wise with its own
+        parameters and seed); otherwise generations serialize on a lock."""
+        if self.batcher is not None:
+            if seed is None:
+                import os as _os
+
+                seed = int.from_bytes(_os.urandom(8), "big")
+            req = self.batcher.submit(tokens, max_new_tokens=max_tokens,
+                                      temperature=temperature, top_k=top_k,
+                                      top_p=top_p, seed=int(seed))
             for part in self.engine._generate_string(req.tokens(timeout=120)):
                 if part.added_to_waiting:
                     continue
@@ -216,13 +224,19 @@ class LlamaHTTPServer:
                 try:
                     max_tokens = int(req.get("max_tokens", 128))
                     temperature = float(req.get("temperature", 0.0))
+                    top_p = float(req.get("top_p", 1.0))
+                    top_k = int(req.get("top_k", 0))       # extension param
+                    seed = req.get("seed")                 # OpenAI seed param
+                    if seed is not None:
+                        seed = int(seed)
                 except (TypeError, ValueError) as e:
                     self._json(400, {"error": {"message": f"bad parameter: {e}"}})
                     return
                 stream = bool(req.get("stream", False))
                 rid = f"cmpl-{uuid.uuid4().hex[:20]}"
                 created = int(time.time())
-                gen = server_self.generate(tokens, max_tokens, temperature)
+                gen = server_self.generate(tokens, max_tokens, temperature,
+                                           top_k=top_k, top_p=top_p, seed=seed)
 
                 if stream:
                     self.send_response(200)
@@ -255,7 +269,8 @@ class LlamaHTTPServer:
                 elif True:
                   try:
                     if temperature == 0.0:
-                        # greedy non-streaming: on-device decode loop
+                        # greedy non-streaming: batcher slot or the on-device
+                        # decode loop; block rendering in both cases
                         full, finish, n_out = server_self.generate_block(
                             tokens, max_tokens)
                         pieces = [None] * n_out

@@ -139,3 +139,50 @@ def test_max_new_tokens_cap():
     out = drain(req)
     assert len(out) == 3
     assert out[-1][0] != GenerationState.IN_PROGRESS
+
+
+# ------------------------------------------------------- per-request sampling
+
+def toks_of(req):
+    return [t for _, t in drain(req)]
+
+
+def test_sampled_request_deterministic_and_neighbor_independent():
+    """Same (prompt, seed, params) must yield the same tokens whether the
+    request runs alone or next to other traffic."""
+    eng = make_engine(sequence_length=24)
+    cb = ContinuousBatcher(eng, n_slots=4)
+    alone = cb.submit([1, 5, 9], max_new_tokens=8, temperature=0.9, seed=42)
+    cb.run_until_idle()
+    crowd_reqs = [cb.submit([7, 8], max_new_tokens=8),
+                  cb.submit([1, 5, 9], max_new_tokens=8, temperature=0.9, seed=42),
+                  cb.submit([3, 3, 3], max_new_tokens=8, temperature=1.5, seed=7)]
+    cb.run_until_idle()
+    assert toks_of(alone) == toks_of(crowd_reqs[1])
+    # greedy neighbor unaffected by sampled rows (token values; its final
+    # state is the max_new_tokens cap, not the reference's IN_PROGRESS)
+    assert toks_of(crowd_reqs[0]) == [t for _, t in seq_tokens([7, 8])[:8]]
+
+
+def test_sampled_top_k1_equals_greedy():
+    eng = make_engine(sequence_length=24)
+    cb = ContinuousBatcher(eng, n_slots=2)
+    g = cb.submit([1, 5, 9], max_new_tokens=6)
+    s = cb.submit([1, 5, 9], max_new_tokens=6, temperature=0.8, top_k=1, seed=3)
+    cb.run_until_idle()
+    assert toks_of(g) == toks_of(s)
+
+
+def test_sampled_different_seeds_diverge():
+    """High temperature + different seeds should (overwhelmingly) differ —
+    and slot reuse must not leak the previous occupant's sampling state."""
+    eng = make_engine(sequence_length=32)
+    cb = ContinuousBatcher(eng, n_slots=1)
+    a = cb.submit([1, 5, 9], max_new_tokens=12, temperature=2.0, seed=1)
+    cb.run_until_idle()
+    b = cb.submit([1, 5, 9], max_new_tokens=12, temperature=2.0, seed=2)
+    cb.run_until_idle()
+    c = cb.submit([1, 5, 9], max_new_tokens=12)   # greedy after sampled slot
+    cb.run_until_idle()
+    assert toks_of(a) != toks_of(b)
+    assert toks_of(c) == [t for _, t in seq_tokens([1, 5, 9])[:12]]

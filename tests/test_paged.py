@@ -181,3 +181,16 @@ def test_pool_starvation_finishes_gracefully_then_recovers():
     assert out2[-1][0] != GenerationState.IN_PROGRESS
     # all blocks returned at the end
     assert cb.allocator.available == 4
+
+
+def test_paged_sampled_deterministic():
+    """Sampling state rides the paged scheduler too: same seed → same tokens,
+    greedy neighbors untouched."""
+    cb = make_paged(n_slots=2)
+    a = cb.submit([1, 5, 9], max_new_tokens=8, temperature=1.2, seed=11)
+    g = cb.submit([7, 8], max_new_tokens=8)
+    cb.run_until_idle()
+    b = cb.submit([1, 5, 9], max_new_tokens=8, temperature=1.2, seed=11)
+    cb.run_until_idle()
+    assert [t for _, t in drain(a)] == [t for _, t in drain(b)]
+    assert [t for _, t in drain(g)] == [t for _, t in seq_tokens([7, 8])[:8]]
