@@ -37,6 +37,34 @@ from llama_nuts_and_bolts_tpu.tokenizer import PromptPart
 from llama_nuts_and_bolts_tpu.utils.logging import get_logger
 
 
+def apply_stop_sequences(gen, stops):
+    """Wrap a (text, finish) stream with OpenAI `stop`-sequence semantics:
+    cut the stream at the first occurrence of any stop string (which may
+    straddle piece boundaries — up to max(len)-1 chars are held back until
+    they can't be a stop prefix) and report finish_reason "stop". The stop
+    text itself is never emitted."""
+    if not stops:
+        yield from gen
+        return
+    hold = max(len(s) for s in stops) - 1
+    acc = ""
+    for text, fin in gen:
+        acc += text
+        hits = [acc.find(s) for s in stops if s in acc]
+        if hits:
+            yield acc[:min(hits)], "stop"
+            return
+        if fin is not None:
+            yield acc, fin
+            return
+        if len(acc) > hold:
+            cut = len(acc) - hold
+            yield acc[:cut], None
+            acc = acc[cut:]
+    if acc:
+        yield acc, None
+
+
 class LlamaHTTPServer:
     def __init__(self, engine: InferenceEngine, model_name: str = "llama-3.1-8b-instruct",
                  continuous_slots: int = 0, paged_blocks: int = 0):
@@ -44,6 +72,11 @@ class LlamaHTTPServer:
         self.model_name = model_name
         self._gen_lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
+        # request/token accounting surfaced at /metrics (Prometheus text)
+        self._metrics_lock = threading.Lock()
+        self.metrics = {"requests_total": 0, "requests_failed": 0,
+                        "tokens_generated_total": 0,
+                        "generation_seconds_total": 0.0}
         self.batcher = None
         if continuous_slots > 0:
             if paged_blocks:
@@ -154,6 +187,45 @@ class LlamaHTTPServer:
 
     # ------------------------------------------------------------- plumbing
 
+    def count_request(self, n_tokens: int, seconds: float, failed: bool = False):
+        with self._metrics_lock:
+            self.metrics["requests_total"] += 1
+            self.metrics["requests_failed"] += int(failed)
+            self.metrics["tokens_generated_total"] += n_tokens
+            self.metrics["generation_seconds_total"] += seconds
+
+    def render_metrics(self) -> str:
+        """Prometheus text exposition: counters plus live batcher gauges."""
+        m = dict(self.metrics)
+        lines = [
+            "# TYPE llama_requests_total counter",
+            f"llama_requests_total {m['requests_total']}",
+            "# TYPE llama_requests_failed_total counter",
+            f"llama_requests_failed_total {m['requests_failed']}",
+            "# TYPE llama_tokens_generated_total counter",
+            f"llama_tokens_generated_total {m['tokens_generated_total']}",
+            "# TYPE llama_generation_seconds_total counter",
+            f"llama_generation_seconds_total {m['generation_seconds_total']:.3f}",
+        ]
+        if self.batcher is not None:
+            b = self.batcher
+            lines += [
+                "# TYPE llama_batch_slots gauge",
+                f"llama_batch_slots {b.n_slots}",
+                "# TYPE llama_batch_slots_active gauge",
+                f"llama_batch_slots_active {sum(r is not None for r in b.slots)}",
+                "# TYPE llama_batch_pending gauge",
+                f"llama_batch_pending {b.pending.qsize()}",
+            ]
+            if hasattr(b, "allocator"):
+                lines += [
+                    "# TYPE llama_kv_blocks_free gauge",
+                    f"llama_kv_blocks_free {b.allocator.available}",
+                    "# TYPE llama_kv_blocks_total gauge",
+                    f"llama_kv_blocks_total {b.allocator.n_blocks - 1}",
+                ]
+        return "\n".join(lines) + "\n"
+
     def make_handler(server_self):
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
@@ -188,6 +260,14 @@ class LlamaHTTPServer:
                                 "stalled": len(b._stalled),
                             }
                     self._json(200, info)
+                elif self.path == "/metrics":
+                    body = server_self.render_metrics().encode("utf-8")
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif self.path == "/v1/models":
                     self._json(200, {"object": "list", "data": [
                         {"id": server_self.model_name, "object": "model"}]})
@@ -229,14 +309,25 @@ class LlamaHTTPServer:
                     seed = req.get("seed")                 # OpenAI seed param
                     if seed is not None:
                         seed = int(seed)
+                    stop = req.get("stop")                 # str | list[str]
+                    if isinstance(stop, str):
+                        stop = [stop]
+                    if stop is not None and (
+                            not isinstance(stop, list) or len(stop) > 4
+                            or not all(isinstance(s, str) and s for s in stop)):
+                        raise ValueError("'stop' must be a non-empty string "
+                                         "or a list of up to 4 of them")
                 except (TypeError, ValueError) as e:
                     self._json(400, {"error": {"message": f"bad parameter: {e}"}})
                     return
                 stream = bool(req.get("stream", False))
                 rid = f"cmpl-{uuid.uuid4().hex[:20]}"
                 created = int(time.time())
-                gen = server_self.generate(tokens, max_tokens, temperature,
-                                           top_k=top_k, top_p=top_p, seed=seed)
+                t_start = time.perf_counter()
+                gen = apply_stop_sequences(
+                    server_self.generate(tokens, max_tokens, temperature,
+                                         top_k=top_k, top_p=top_p, seed=seed),
+                    stop)
 
                 if stream:
                     self.send_response(200)
@@ -251,7 +342,9 @@ class LlamaHTTPServer:
                         self.wfile.write(payload + b"\r\n")
 
                     finish = None
+                    n_pieces = 0
                     for text, fin in gen:
+                        n_pieces += 1
                         delta = ({"content": text} if is_chat
                                  else None)
                         choice = ({"index": 0, "delta": delta, "finish_reason": fin}
@@ -266,6 +359,8 @@ class LlamaHTTPServer:
                         finish = fin
                     chunk("[DONE]")
                     self.wfile.write(b"0\r\n\r\n")
+                    server_self.count_request(
+                        n_pieces, time.perf_counter() - t_start)
                 elif True:
                   try:
                     if temperature == 0.0:
@@ -273,6 +368,10 @@ class LlamaHTTPServer:
                         # decode loop; block rendering in both cases
                         full, finish, n_out = server_self.generate_block(
                             tokens, max_tokens)
+                        if stop:
+                            hits = [full.find(s) for s in stop if s in full]
+                            if hits:
+                                full, finish = full[:min(hits)], "stop"
                         pieces = [None] * n_out
                     else:
                         pieces, finish = [], "length"
@@ -294,8 +393,12 @@ class LlamaHTTPServer:
                         "usage": {"prompt_tokens": len(tokens),
                                   "completion_tokens": len(pieces)},
                     })
+                    server_self.count_request(
+                        len(pieces), time.perf_counter() - t_start)
                   except Exception as e:  # generation failure -> 500
                     get_logger().error("generation failed: %s", e)
+                    server_self.count_request(0, time.perf_counter() - t_start,
+                                              failed=True)
                     self._json(500, {"error": {"message": f"generation failed: {e}"}})
 
         return Handler

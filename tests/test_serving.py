@@ -160,3 +160,64 @@ def test_cached_system_prompt_matches_uncached():
     finally:
         srv_cold.shutdown()
         srv_warm.shutdown()
+
+
+# ----------------------------------------------------------- stop sequences
+
+def test_stop_sequence_truncates(server):
+    """`stop` cuts at the first occurrence, never emits the stop text, and
+    reports finish_reason \"stop\" — for streaming and non-streaming alike."""
+    _, base = post(server + "/v1/completions",
+                   {"prompt": "hello", "max_tokens": 10})
+    full = base["choices"][0]["text"]
+    assert len(full) >= 4, "need some generated text to pick a stop from"
+    stop = full[2:4]
+    _, body = post(server + "/v1/completions",
+                   {"prompt": "hello", "max_tokens": 10, "stop": stop})
+    choice = body["choices"][0]
+    assert choice["text"] == full[:full.find(stop)]
+    assert stop not in choice["text"]
+    assert choice["finish_reason"] == "stop"
+
+    # streaming path (pieces may straddle the stop string)
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps({"prompt": "hello", "max_tokens": 10,
+                         "stream": True, "stop": [stop]}).encode(),
+        method="POST", headers={"Content-Type": "application/json"})
+    text, finish = "", None
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        for line in resp:
+            line = line.decode().strip()
+            if not line.startswith("data: ") or line == "data: [DONE]":
+                continue
+            obj = json.loads(line[6:])
+            ch = obj["choices"][0]
+            text += ch.get("text", "")
+            finish = ch["finish_reason"] or finish
+    assert text == full[:full.find(stop)]
+    assert finish == "stop"
+
+
+def test_stop_sequence_rejects_bad_values(server):
+    status = post.__defaults__  # noqa: F841 (lint quiet)
+    try:
+        post(server + "/v1/completions",
+             {"prompt": "hello", "max_tokens": 4, "stop": ["a", "b", "c", "d", "e"]})
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
+
+
+def test_metrics_endpoint(server):
+    post(server + "/v1/completions", {"prompt": "hello", "max_tokens": 4})
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    metrics = {l.split()[0]: float(l.split()[1])
+               for l in text.splitlines() if l and not l.startswith("#")}
+    assert metrics["llama_requests_total"] >= 1
+    assert metrics["llama_tokens_generated_total"] >= 1
+    assert metrics["llama_requests_failed_total"] >= 0
+    assert metrics["llama_generation_seconds_total"] > 0
