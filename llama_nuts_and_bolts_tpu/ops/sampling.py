@@ -81,3 +81,14 @@ def sample_tokens_batched(
 
     sampled = jax.vmap(draw)(keys, positions, scaled).astype(jnp.int32)
     return jnp.where(temperature > 0.0, sampled, greedy(logits))
+
+
+def top_logprobs_batched(logits: jnp.ndarray, chosen: jnp.ndarray, k: int):
+    """Per-row log-softmax info for OpenAI-style ``logprobs``:
+    returns (chosen_logprob [B], top_vals [B, k], top_ids [B, k]).
+    ``k`` is static (one executable); cost is one log-softmax + top-k over
+    the logits the step already produced."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)     # [B, V]
+    chosen_lp = jnp.take_along_axis(lp, chosen[:, None], axis=-1)[:, 0]
+    top_vals, top_ids = jax.lax.top_k(lp, k)
+    return chosen_lp, top_vals, top_ids.astype(jnp.int32)

@@ -40,8 +40,14 @@ import numpy as np
 from jax import lax
 
 from llama_nuts_and_bolts_tpu.models.llama.model import KVCache, forward
-from llama_nuts_and_bolts_tpu.ops.sampling import sample_tokens_batched
+from llama_nuts_and_bolts_tpu.ops.sampling import (
+    sample_tokens_batched,
+    top_logprobs_batched,
+)
 from llama_nuts_and_bolts_tpu.runtime.types import GenerationState
+
+
+LOGPROBS_K = 5   # OpenAI caps top_logprobs at 5 for completions
 
 
 def make_base_key(seed: int) -> np.ndarray:
@@ -73,7 +79,8 @@ def _prefill_slot(params, cfg, tokens, logits_at, cache: KVCache, slot,
         cache, sub)
     tok = sample_tokens_batched(logits[:, 0], key[None], logits_at[None],
                                 temp[None], top_k[None], top_p[None])
-    return tok[0], cache
+    lp = top_logprobs_batched(logits[:, 0], tok, LOGPROBS_K)
+    return tok[0], (lp[0][0], lp[1][0], lp[2][0]), cache
 
 
 @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))
@@ -84,7 +91,8 @@ def _decode_step(params, cfg, tokens, positions, cache: KVCache,
     logits, cache = forward(params, cfg, tokens, positions, cache)
     toks = sample_tokens_batched(logits[:, -1], keys, positions,
                                  temps, top_ks, top_ps)
-    return toks, cache
+    lp = top_logprobs_batched(logits[:, -1], toks, LOGPROBS_K)
+    return toks, lp, cache
 
 
 @dataclass
@@ -98,10 +106,15 @@ class Request:
     top_p: float = 1.0
     seed: int = 0                     # with temperature > 0: reproducible,
                                       # independent of batch neighbors
+    want_logprobs: int = 0            # per-token top-N info (N <= 5);
+                                      # filled into .logprobs when > 0
     out: "queue.Queue[Tuple[GenerationState, int]]" = field(
         default_factory=queue.Queue)
     slot: Optional[int] = None
     produced: int = 0
+    # per emitted token, when want_logprobs > 0:
+    # (token_id, chosen_logprob, [(top_id, top_logprob) x want_logprobs])
+    logprobs: List[tuple] = field(default_factory=list)
 
     def tokens(self, timeout: Optional[float] = None):
         """Iterate (state, token_id) until the request finishes."""
@@ -140,13 +153,16 @@ class ContinuousBatcher:
 
     def submit(self, prompt_tokens: Sequence[int],
                max_new_tokens: int = 1 << 30, temperature: float = 0.0,
-               top_k: int = 0, top_p: float = 1.0, seed: int = 0) -> Request:
+               top_k: int = 0, top_p: float = 1.0, seed: int = 0,
+               logprobs: int = 0) -> Request:
         prompt = list(prompt_tokens)
         if not prompt or len(prompt) >= self.seq_len:
             raise ValueError("prompt must be non-empty and shorter than context")
+        if not 0 <= logprobs <= LOGPROBS_K:
+            raise ValueError(f"logprobs must be in [0, {LOGPROBS_K}]")
         req = Request(prompt=prompt, max_new_tokens=max_new_tokens,
                       temperature=temperature, top_k=top_k, top_p=top_p,
-                      seed=seed)
+                      seed=seed, want_logprobs=logprobs)
         self.pending.put(req)
         return req
 
@@ -195,7 +211,7 @@ class ContinuousBatcher:
             bucket = prefill_bucket(plen, self.seq_len)
             padded = np.zeros((1, bucket), dtype=np.int32)
             padded[0, :plen] = req.prompt
-            first, self.cache = _prefill_slot(
+            first, lp, self.cache = _prefill_slot(
                 self.engine.model.params, self.cfg, jnp.asarray(padded),
                 plen - 1, self.cache, slot,
                 jnp.asarray(self._key[slot]), self._temp[slot],
@@ -204,7 +220,25 @@ class ContinuousBatcher:
             self.slots[slot] = req
             self._feed[slot] = int(first)
             self._pos[slot] = plen
+            self._record_logprobs(slot, int(first), lp)
             self._emit(slot, int(first))
+
+    def _record_logprobs(self, slot: int, tok: int, lp, row=None) -> None:
+        """Append (token, chosen_lp, top list) for slot's request if asked.
+        ``lp`` = (chosen [.], top_vals [., K], top_ids [., K]) device arrays;
+        ``row`` indexes batched arrays (None = scalar prefill result)."""
+        req = self.slots[slot]
+        if req is None or not req.want_logprobs:
+            return
+        chosen, vals, ids = lp
+        if row is not None:
+            chosen, vals, ids = chosen[row], vals[row], ids[row]
+        vals = np.asarray(vals, np.float32)
+        ids = np.asarray(ids, np.int32)
+        n = req.want_logprobs
+        req.logprobs.append(
+            (tok, float(np.asarray(chosen)),
+             [(int(i), float(v)) for i, v in zip(ids[:n], vals[:n])]))
 
     def _emit(self, slot: int, tok: int, force_finish: bool = False) -> None:
         """Classify + deliver one generated token for the request in ``slot``
@@ -242,7 +276,7 @@ class ContinuousBatcher:
                 return
             toks = jnp.asarray(self._feed[:, None])
             poss = jnp.asarray(self._pos)
-            nxt, self.cache = _decode_step(
+            nxt, lp, self.cache = _decode_step(
                 self.engine.model.params, self.cfg, toks, poss, self.cache,
                 jnp.asarray(self._key), jnp.asarray(self._temp),
                 jnp.asarray(self._topk), jnp.asarray(self._topp))
@@ -252,6 +286,7 @@ class ContinuousBatcher:
                 self._pos[slot] = min(int(self._pos[slot]) + 1, self.seq_len - 1)
                 if active:
                     self._feed[slot] = int(nxt[slot])
+                    self._record_logprobs(slot, int(nxt[slot]), lp, row=slot)
                     self._emit(slot, int(nxt[slot]))
 
     # -------------------------------------------------------- serving glue

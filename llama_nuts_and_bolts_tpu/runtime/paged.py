@@ -44,8 +44,15 @@ from llama_nuts_and_bolts_tpu.models.llama.paged import (
     paged_decode_step,
     paged_prefill,
 )
-from llama_nuts_and_bolts_tpu.ops.sampling import sample_tokens_batched
-from llama_nuts_and_bolts_tpu.runtime.continuous import ContinuousBatcher, Request
+from llama_nuts_and_bolts_tpu.ops.sampling import (
+    sample_tokens_batched,
+    top_logprobs_batched,
+)
+from llama_nuts_and_bolts_tpu.runtime.continuous import (
+    LOGPROBS_K,
+    ContinuousBatcher,
+    Request,
+)
 
 
 class BlockAllocator:
@@ -79,7 +86,8 @@ def _prefill_jit(params, cfg, tokens, logits_at, pool, table_row,
     logits, pool = paged_prefill(params, cfg, tokens, logits_at, pool, table_row)
     tok = sample_tokens_batched(logits, key[None], logits_at[None],
                                 temp[None], top_k[None], top_p[None])
-    return tok[0], pool
+    lp = top_logprobs_batched(logits, tok, LOGPROBS_K)
+    return tok[0], (lp[0][0], lp[1][0], lp[2][0]), pool
 
 
 @functools.partial(jax.jit, static_argnums=(1, 6), donate_argnums=(4,))
@@ -88,7 +96,8 @@ def _decode_jit(params, cfg, tokens, positions, pool, tables, attn_impl,
     logits, pool = paged_decode_step(params, cfg, tokens, positions, pool,
                                      tables, attn_impl=attn_impl)
     toks = sample_tokens_batched(logits, keys, positions, temps, top_ks, top_ps)
-    return toks, pool
+    lp = top_logprobs_batched(logits, toks, LOGPROBS_K)
+    return toks, lp, pool
 
 
 class PagedBatcher(ContinuousBatcher):
@@ -173,7 +182,7 @@ class PagedBatcher(ContinuousBatcher):
             padded = np.zeros((1, bucket), dtype=np.int32)
             padded[0, :plen] = req.prompt
             self._set_sampling(slot, req)
-            first, self.pool = _prefill_jit(
+            first, lp, self.pool = _prefill_jit(
                 self.engine.model.params, self.cfg, jnp.asarray(padded),
                 plen - 1, self.pool, jnp.asarray(self.tables[slot]),
                 jnp.asarray(self._key[slot]), self._temp[slot],
@@ -182,6 +191,7 @@ class PagedBatcher(ContinuousBatcher):
             self.slots[slot] = req
             self._feed[slot] = int(first)
             self._pos[slot] = plen
+            self._record_logprobs(slot, int(first), lp)
             self._emit(slot, int(first))
 
     def step(self) -> None:
@@ -190,7 +200,7 @@ class PagedBatcher(ContinuousBatcher):
             if not any(r is not None for r in self.slots):
                 return
             # invariant: every active slot's current write position is backed
-            nxt, self.pool = _decode_jit(
+            nxt, lp, self.pool = _decode_jit(
                 self.engine.model.params, self.cfg,
                 jnp.asarray(self._feed[:, None]), jnp.asarray(self._pos),
                 self.pool, jnp.asarray(self.tables), self.attn_impl,
@@ -204,6 +214,7 @@ class PagedBatcher(ContinuousBatcher):
                 if not active:
                     continue
                 self._feed[slot] = int(nxt[slot])
+                self._record_logprobs(slot, int(nxt[slot]), lp, row=slot)
                 # back the NEXT write position before emitting, so a pool-dry
                 # moment turns into a graceful finish after this token
                 force_finish = False

@@ -128,6 +128,46 @@ class LlamaHTTPServer:
         _pieces, text = self.engine.token_batch_to_string(ids)
         return text, finish, len(ids)
 
+    def generate_block_with_logprobs(self, tokens, max_tokens: int,
+                                     temperature: float, top_k: int,
+                                     top_p: float, seed, n_logprobs: int):
+        """Batcher-backed non-streaming generation that also returns per-token
+        top-N logprob info (requires --continuous; the shared decode step
+        computes the top-5 log-softmax rows anyway)."""
+        if self.batcher is None:
+            raise ValueError("logprobs requires continuous batching "
+                             "(--continuous N)")
+        if seed is None:
+            import os as _os
+
+            seed = int.from_bytes(_os.urandom(8), "big")
+        req = self.batcher.submit(tokens, max_new_tokens=max_tokens,
+                                  temperature=temperature, top_k=top_k,
+                                  top_p=top_p, seed=int(seed),
+                                  logprobs=n_logprobs)
+        ids, finish = [], "length"
+        for state, tok in req.tokens(timeout=120):
+            ids.append(tok)
+            if state == GenerationState.FINISHED_BY_REACHING_EOS:
+                finish = "stop"
+        entries = list(req.logprobs)
+        if finish == "stop":
+            ids, entries = ids[:-1], entries[:-1]
+        _pieces, text = self.engine.token_batch_to_string(ids)
+        return text, finish, ids, entries
+
+    def render_token(self, token_id: int) -> str:
+        """Single-token text for logprobs fields: UTF-8 when the piece decodes
+        cleanly, the reference's <0xNN> byte-fallback rendering otherwise
+        (keeps distinct token ids distinct as dict keys)."""
+        piece = self.engine.model.vocab.piece(token_id)
+        if piece is None:
+            return f"<unk:{token_id}>"
+        try:
+            return piece.decode("utf-8")
+        except UnicodeDecodeError:
+            return "".join(f"<0x{b:02X}>" for b in piece)
+
     def generate(self, tokens, max_tokens: int, temperature: float,
                  top_k: int = 0, top_p: float = 1.0, seed=None):
         """Generation; yields (text_piece, finish_reason|None).
@@ -309,6 +349,14 @@ class LlamaHTTPServer:
                     seed = req.get("seed")                 # OpenAI seed param
                     if seed is not None:
                         seed = int(seed)
+                    n_logprobs = 0                         # 0 = off
+                    if is_chat:
+                        if bool(req.get("logprobs", False)):
+                            n_logprobs = int(req.get("top_logprobs", 1) or 1)
+                    elif req.get("logprobs") is not None:
+                        n_logprobs = int(req.get("logprobs"))
+                    if not 0 <= n_logprobs <= 5:
+                        raise ValueError("logprobs must be in [0, 5]")
                     stop = req.get("stop")                 # str | list[str]
                     if isinstance(stop, str):
                         stop = [stop]
@@ -321,6 +369,14 @@ class LlamaHTTPServer:
                     self._json(400, {"error": {"message": f"bad parameter: {e}"}})
                     return
                 stream = bool(req.get("stream", False))
+                if n_logprobs and stream:
+                    self._json(400, {"error": {"message":
+                        "logprobs with stream=true is not supported"}})
+                    return
+                if n_logprobs and server_self.batcher is None:
+                    self._json(400, {"error": {"message":
+                        "logprobs requires the server to run with --continuous"}})
+                    return
                 rid = f"cmpl-{uuid.uuid4().hex[:20]}"
                 created = int(time.time())
                 t_start = time.perf_counter()
@@ -363,7 +419,36 @@ class LlamaHTTPServer:
                         n_pieces, time.perf_counter() - t_start)
                 elif True:
                   try:
-                    if temperature == 0.0:
+                    lp_field = None
+                    if n_logprobs:
+                        full, finish, ids, entries = (
+                            server_self.generate_block_with_logprobs(
+                                tokens, max_tokens, temperature, top_k,
+                                top_p, seed, n_logprobs))
+                        if stop:
+                            hits = [full.find(s) for s in stop if s in full]
+                            if hits:
+                                full, finish = full[:min(hits)], "stop"
+                        pieces = [None] * len(ids)
+                        if is_chat:
+                            lp_field = {"content": [
+                                {"token": server_self.render_token(t),
+                                 "logprob": clp,
+                                 "top_logprobs": [
+                                     {"token": server_self.render_token(i),
+                                      "logprob": v} for i, v in tops]}
+                                for t, clp, tops in entries]}
+                        else:
+                            lp_field = {
+                                "tokens": [server_self.render_token(t)
+                                           for t, _, _ in entries],
+                                "token_logprobs": [clp for _, clp, _ in entries],
+                                "top_logprobs": [
+                                    {server_self.render_token(i): v
+                                     for i, v in tops}
+                                    for _, _, tops in entries],
+                            }
+                    elif temperature == 0.0:
                         # greedy non-streaming: batcher slot or the on-device
                         # decode loop; block rendering in both cases
                         full, finish, n_out = server_self.generate_block(
@@ -385,6 +470,8 @@ class LlamaHTTPServer:
                                   "message": {"role": "assistant", "content": full}}
                     else:
                         choice = {"index": 0, "finish_reason": finish, "text": full}
+                    if lp_field is not None:
+                        choice["logprobs"] = lp_field
                     self._json(200, {
                         "id": rid, "created": created,
                         "object": "chat.completion" if is_chat else "text_completion",

@@ -221,3 +221,57 @@ def test_metrics_endpoint(server):
     assert metrics["llama_tokens_generated_total"] >= 1
     assert metrics["llama_requests_failed_total"] >= 0
     assert metrics["llama_generation_seconds_total"] > 0
+
+
+# ---------------------------------------------------------------- logprobs
+
+@pytest.fixture(scope="module")
+def cont_server():
+    srv = LlamaHTTPServer(make_engine(sequence_length=32),
+                          model_name="tiny-cont", continuous_slots=2)
+    port = srv.start_background()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def test_completions_logprobs(cont_server):
+    _, body = post(cont_server + "/v1/completions",
+                   {"prompt": "hello", "max_tokens": 5, "logprobs": 3})
+    ch = body["choices"][0]
+    lp = ch["logprobs"]
+    n = len(lp["tokens"])
+    assert n == len(lp["token_logprobs"]) == len(lp["top_logprobs"]) > 0
+    assert all(v <= 0.0 for v in lp["token_logprobs"])
+    # greedy: the chosen token must be the top-1 entry of its distribution
+    for tok_lp, tops in zip(lp["token_logprobs"], lp["top_logprobs"]):
+        assert len(tops) == 3
+        assert tok_lp >= max(tops.values()) - 1e-5
+
+
+def test_chat_logprobs(cont_server):
+    _, body = post(cont_server + "/v1/chat/completions",
+                   {"messages": [{"role": "user", "content": "hi"}],
+                    "max_tokens": 4, "logprobs": True, "top_logprobs": 2})
+    content = body["choices"][0]["logprobs"]["content"]
+    assert len(content) > 0
+    for e in content:
+        assert e["logprob"] <= 0.0
+        assert len(e["top_logprobs"]) == 2
+
+
+def test_logprobs_rejected_without_batcher(server):
+    try:
+        post(server + "/v1/completions",
+             {"prompt": "hello", "max_tokens": 4, "logprobs": 2})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_logprobs_rejected_with_stream(cont_server):
+    try:
+        post(cont_server + "/v1/completions",
+             {"prompt": "hello", "max_tokens": 4, "logprobs": 2, "stream": True})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
