@@ -65,12 +65,14 @@ def sample_tokens_batched(
     k_idx = jnp.clip(jnp.where(top_k > 0, top_k, V) - 1, 0, V - 1)
     kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
     scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
-    # top-p: keep the smallest prefix of the sorted distribution with
-    # cumulative probability >= top_p (p >= 1 keeps everything)
-    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    # top-p AFTER top-k (same order as sample_token): the cutoff comes from
+    # the top-k-masked distribution — masked tail softmaxes to 0, so the
+    # cumulative prefix lives inside the surviving top-k set
+    sorted_masked = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_masked, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     cutoff_idx = jnp.sum(cum < top_p[:, None], axis=-1, keepdims=True)
-    cutoff = jnp.take_along_axis(sorted_desc, jnp.minimum(cutoff_idx, V - 1),
+    cutoff = jnp.take_along_axis(sorted_masked, jnp.minimum(cutoff_idx, V - 1),
                                  axis=-1)
     scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
 

@@ -112,9 +112,16 @@ class Request:
         default_factory=queue.Queue)
     slot: Optional[int] = None
     produced: int = 0
+    cancelled: bool = False
     # per emitted token, when want_logprobs > 0:
     # (token_id, chosen_logprob, [(top_id, top_logprob) x want_logprobs])
     logprobs: List[tuple] = field(default_factory=list)
+
+    def cancel(self) -> None:
+        """Stop generating for this request: its slot and any cache blocks
+        are released at the scheduler's next step. Safe to call at any time,
+        from any thread, including after completion (no-op then)."""
+        self.cancelled = True
 
     def tokens(self, timeout: Optional[float] = None):
         """Iterate (state, token_id) until the request finishes."""
@@ -206,6 +213,8 @@ class ContinuousBatcher:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 return
+            if req.cancelled:
+                continue
             plen = len(req.prompt)
             self._set_sampling(slot, req)
             bucket = prefill_bucket(plen, self.seq_len)
@@ -269,8 +278,14 @@ class ContinuousBatcher:
         self._feed[slot] = 0
         self._clear_sampling(slot)
 
+    def _sweep_cancelled(self) -> None:
+        for slot, r in enumerate(self.slots):
+            if r is not None and r.cancelled:
+                self._release_slot(slot)
+
     def step(self) -> None:
         with self._lock:
+            self._sweep_cancelled()
             self._admit()
             if not any(r is not None for r in self.slots):
                 return

@@ -62,6 +62,12 @@ class InferenceEngine:
         self.args = args or InferenceArgs()
         # optional smaller Llama used as the speculation proposer (two-model
         # speculative decoding); None falls back to n-gram prompt lookup
+        if (draft_model is not None
+                and draft_model.cfg.vocab_size < model.cfg.vocab_size):
+            raise ValueError(
+                f"draft model vocab ({draft_model.cfg.vocab_size}) is smaller "
+                f"than the target's ({model.cfg.vocab_size}): target token ids "
+                "would be clipped by the draft embedding lookup")
         self.draft_model = draft_model
         self.seq_len = self.args.sequence_length or model.cfg.max_sequence_length
         self.log = log_fn or (lambda fmt, *a: get_logger().debug(fmt, *a))

@@ -112,14 +112,24 @@ class PagedBatcher(ContinuousBatcher):
     def __init__(self, engine, n_slots: int = 8,
                  n_blocks: Optional[int] = None,
                  block_size: int = DEFAULT_BLOCK_SIZE,
-                 attn_impl: str = "xla") -> None:
+                 attn_impl: Optional[str] = None) -> None:
         import threading
 
+        if getattr(engine.args, "kv_cache_dtype", "bf16") == "int8":
+            raise ValueError(
+                "the paged KV pool is bf16-only; --kv-cache int8 requires the "
+                "dense continuous batcher (drop --paged-blocks)")
         self.engine = engine
         self.cfg = engine.model.cfg
         self.vocab = engine.model.vocab
         self.n_slots = n_slots
         self.seq_len = engine.seq_len
+        if attn_impl is None:
+            # auto: the block-table Pallas kernel on TPU when the head dim
+            # fills MXU lanes; the XLA gather oracle elsewhere (CPU tests)
+            on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+            attn_impl = ("pallas" if on_tpu and self.cfg.head_dim % 128 == 0
+                         else "xla")
         self.attn_impl = attn_impl
         self.block_size = block_size
         self.max_blocks = math.ceil(self.seq_len / block_size)
@@ -136,6 +146,17 @@ class PagedBatcher(ContinuousBatcher):
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._stalled: deque[Request] = deque()   # admitted-order, pool-starved
         self._lock = threading.Lock()
+
+    def submit(self, prompt_tokens, **kwargs):
+        """Reject prompts the pool can NEVER hold — otherwise they would
+        stall at the FIFO head forever and wedge every request behind them."""
+        need = len(list(prompt_tokens)) // self.block_size + 1
+        capacity = self.allocator.n_blocks - 1
+        if need > capacity:
+            raise ValueError(
+                f"prompt needs {need} KV blocks but the pool only has "
+                f"{capacity}; raise --paged-blocks or shorten the prompt")
+        return super().submit(prompt_tokens, **kwargs)
 
     @property
     def has_work(self) -> bool:
@@ -167,6 +188,8 @@ class PagedBatcher(ContinuousBatcher):
             req = self._next_waiting()
             if req is None:
                 return
+            if req.cancelled:
+                continue
             plen = len(req.prompt)
             blocks = self.allocator.alloc(plen // bs + 1)  # prompt + next write
             if blocks is None:
@@ -196,6 +219,7 @@ class PagedBatcher(ContinuousBatcher):
 
     def step(self) -> None:
         with self._lock:
+            self._sweep_cancelled()
             self._admit()
             if not any(r is not None for r in self.slots):
                 return

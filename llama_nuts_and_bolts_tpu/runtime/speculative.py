@@ -84,21 +84,33 @@ class DraftModelProposer:
     to power-of-two buckets so the step reuses a handful of executables.
     """
 
+    _shared_fwd = None   # one jitted draft forward for ALL proposer instances
+                         # (a per-instance jax.jit would re-trace + recompile
+                         # the draft model on every request)
+
+    @classmethod
+    def _fwd_fn(cls):
+        if cls._shared_fwd is None:
+            import jax
+
+            from llama_nuts_and_bolts_tpu.models.llama.model import forward
+
+            cls._shared_fwd = jax.jit(
+                forward, static_argnums=(1,),
+                static_argnames=("attn_impl",), donate_argnums=(4,))
+        return cls._shared_fwd
+
     def __init__(self, draft_model, context: Sequence[int], seq_len: int) -> None:
-        import jax
         import jax.numpy as jnp
 
-        from llama_nuts_and_bolts_tpu.models.llama.model import KVCache, forward
+        from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
 
-        if draft_model.cfg.vocab_size < draft_model.vocab.size:
-            raise ValueError("draft model vocabulary is smaller than the tokenizer's")
         self.model = draft_model
         self.context: List[int] = list(context)
         self.seq_len = seq_len
         self._valid = 0                      # cache positions [0, _valid) final
         self._cache = KVCache.create(draft_model.cfg, 1, seq_len)
-        self._fwd = jax.jit(forward, static_argnums=(1,),
-                            static_argnames=("attn_impl",), donate_argnums=(4,))
+        self._fwd = self._fwd_fn()
         self._jnp = jnp
 
     def extend(self, tokens: Sequence[int]) -> None:

@@ -169,12 +169,20 @@ class LlamaHTTPServer:
             return "".join(f"<0x{b:02X}>" for b in piece)
 
     def generate(self, tokens, max_tokens: int, temperature: float,
-                 top_k: int = 0, top_p: float = 1.0, seed=None):
+                 top_k: int = 0, top_p: float = 1.0, seed=None,
+                 stats=None):
         """Generation; yields (text_piece, finish_reason|None).
 
         With the continuous batcher enabled EVERY request rides it — greedy
         and sampled alike (each slot samples row-wise with its own
-        parameters and seed); otherwise generations serialize on a lock."""
+        parameters and seed); otherwise generations serialize on a lock.
+        ``stats`` (optional dict) receives {"tokens": N} with the true
+        generated-token count (text pieces != tokens once stop-sequence
+        holdback or byte-fallback buffering is in play). If the consumer
+        stops early (stop sequence, client disconnect), the underlying
+        batcher request is cancelled so its slot and blocks free up."""
+        if stats is None:
+            stats = {}
         if self.batcher is not None:
             if seed is None:
                 import os as _os
@@ -183,32 +191,50 @@ class LlamaHTTPServer:
             req = self.batcher.submit(tokens, max_new_tokens=max_tokens,
                                       temperature=temperature, top_k=top_k,
                                       top_p=top_p, seed=int(seed))
-            for part in self.engine._generate_string(req.tokens(timeout=120)):
-                if part.added_to_waiting:
-                    continue
-                finish = None
-                if part.generation_state == GenerationState.FINISHED_BY_REACHING_EOS:
-                    finish = "stop"
-                elif part.generation_state == GenerationState.FINISHED_BY_REACHING_SEQ_LEN:
-                    finish = "length"
-                text = part.decoded_string
-                if finish == "stop" and self.engine.model.vocab.is_stop(part.token_id):
-                    text = ""
-                yield text, finish
-                if finish is not None:
-                    return
-            yield "", "length"
-            return
+            try:
+                for part in self.engine._generate_string(req.tokens(timeout=120)):
+                    stats["tokens"] = req.produced
+                    if part.added_to_waiting:
+                        continue
+                    finish = None
+                    if part.generation_state == GenerationState.FINISHED_BY_REACHING_EOS:
+                        finish = "stop"
+                    elif part.generation_state == GenerationState.FINISHED_BY_REACHING_SEQ_LEN:
+                        finish = "length"
+                    text = part.decoded_string
+                    if finish == "stop" and self.engine.model.vocab.is_stop(part.token_id):
+                        text = ""
+                    yield text, finish
+                    if finish is not None:
+                        return
+                yield "", "length"
+                return
+            finally:
+                stats["tokens"] = req.produced
+                req.cancel()   # no-op if already finished
         with self._gen_lock:
-            old_temp = self.engine.args.temperature
-            self.engine.args.temperature = temperature
+            args = self.engine.args
+            old = (args.temperature, args.top_k, args.top_p)
+            args.temperature, args.top_k, args.top_p = temperature, top_k, top_p
+            old_rng = self.engine._rng
+            if seed is not None:
+                import jax as _jax
+
+                self.engine._rng = _jax.random.PRNGKey(int(seed))
             try:
                 produced = 0
                 for part in self.engine.generate_string(tokens):
-                    if part.added_to_waiting:
-                        continue
+                    # count TOKENS (a byte-fallback token that only joins the
+                    # waiting buffer still consumed a decode step and must
+                    # count toward max_tokens)
                     if not part.is_resend_of_waiting:
                         produced += 1
+                    stats["tokens"] = produced
+                    if part.added_to_waiting:
+                        if produced >= max_tokens:
+                            yield "", "length"
+                            return
+                        continue
                     finish = None
                     if part.generation_state == GenerationState.FINISHED_BY_REACHING_EOS:
                         finish = "stop"
@@ -223,7 +249,9 @@ class LlamaHTTPServer:
                             yield "", "length"
                         return
             finally:
-                self.engine.args.temperature = old_temp
+                args.temperature, args.top_k, args.top_p = old
+                if seed is not None:
+                    self.engine._rng = old_rng
 
     # ------------------------------------------------------------- plumbing
 
@@ -380,9 +408,11 @@ class LlamaHTTPServer:
                 rid = f"cmpl-{uuid.uuid4().hex[:20]}"
                 created = int(time.time())
                 t_start = time.perf_counter()
+                gen_stats = {"tokens": 0}
                 gen = apply_stop_sequences(
                     server_self.generate(tokens, max_tokens, temperature,
-                                         top_k=top_k, top_p=top_p, seed=seed),
+                                         top_k=top_k, top_p=top_p, seed=seed,
+                                         stats=gen_stats),
                     stop)
 
                 if stream:
@@ -398,9 +428,7 @@ class LlamaHTTPServer:
                         self.wfile.write(payload + b"\r\n")
 
                     finish = None
-                    n_pieces = 0
                     for text, fin in gen:
-                        n_pieces += 1
                         delta = ({"content": text} if is_chat
                                  else None)
                         choice = ({"index": 0, "delta": delta, "finish_reason": fin}
@@ -415,8 +443,9 @@ class LlamaHTTPServer:
                         finish = fin
                     chunk("[DONE]")
                     self.wfile.write(b"0\r\n\r\n")
+                    gen.close()   # early stop: cancel the batcher request
                     server_self.count_request(
-                        n_pieces, time.perf_counter() - t_start)
+                        gen_stats["tokens"], time.perf_counter() - t_start)
                 elif True:
                   try:
                     lp_field = None
@@ -428,7 +457,18 @@ class LlamaHTTPServer:
                         if stop:
                             hits = [full.find(s) for s in stop if s in full]
                             if hits:
-                                full, finish = full[:min(hits)], "stop"
+                                cut = min(hits)
+                                full, finish = full[:cut], "stop"
+                                # keep only tokens whose rendered prefix fits
+                                # the cut so logprobs align with the text
+                                keep = 0
+                                while keep < len(ids):
+                                    _p, s = server_self.engine.token_batch_to_string(
+                                        ids[:keep + 1])
+                                    if len(s) > cut:
+                                        break
+                                    keep += 1
+                                ids, entries = ids[:keep], entries[:keep]
                         pieces = [None] * len(ids)
                         if is_chat:
                             lp_field = {"content": [
@@ -464,7 +504,9 @@ class LlamaHTTPServer:
                             pieces.append(text)
                             if fin:
                                 finish = fin
+                        gen.close()   # early stop: cancel the batcher request
                         full = "".join(pieces)
+                        pieces = [None] * gen_stats["tokens"]
                     if is_chat:
                         choice = {"index": 0, "finish_reason": finish,
                                   "message": {"role": "assistant", "content": full}}

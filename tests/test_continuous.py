@@ -186,3 +186,27 @@ def test_sampled_different_seeds_diverge():
     cb.run_until_idle()
     assert toks_of(a) != toks_of(b)
     assert toks_of(c) == [t for _, t in seq_tokens([1, 5, 9])[:12]]
+
+
+def test_batched_topp_applies_after_topk():
+    """top-p must be computed on the top-k-masked distribution (the
+    sequential sample_token order): with top_k=2 and top_p below the top-1's
+    renormalized mass, only the argmax can ever be drawn."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llama_nuts_and_bolts_tpu.ops.sampling import sample_tokens_batched
+
+    row = np.full(64, -20.0, np.float32)
+    row[0], row[1], row[2] = 10.0, 9.0, 8.9
+    logits = jnp.asarray(np.tile(row, (16, 1)))   # 16 rows, different keys
+    keys = jnp.asarray(np.random.RandomState(0)
+                       .randint(0, 2**31, (16, 2)).astype(np.uint32))
+    pos = jnp.arange(16, dtype=jnp.int32)
+    # renormalized top-2 is {0: 0.73, 1: 0.27}; top_p=0.6 keeps only token 0.
+    # (computed over the FULL distribution the cutoff would keep token 1 too)
+    toks = sample_tokens_batched(
+        logits, keys, pos, jnp.full(16, 1.0), jnp.full(16, 2, jnp.int32),
+        jnp.full(16, 0.6))
+    assert np.asarray(toks).tolist() == [0] * 16

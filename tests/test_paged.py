@@ -194,3 +194,34 @@ def test_paged_sampled_deterministic():
     cb.run_until_idle()
     assert [t for _, t in drain(a)] == [t for _, t in drain(b)]
     assert [t for _, t in drain(g)] == [t for _, t in seq_tokens([7, 8])[:8]]
+
+
+# ------------------------------------------------------- review regressions
+
+def test_submit_rejects_prompt_larger_than_pool():
+    """A prompt the pool can never hold must be rejected at submit, not
+    left to wedge the FIFO head forever."""
+    cb = make_paged(n_slots=2, n_blocks=3)      # 2 usable blocks of 8
+    with pytest.raises(ValueError, match="blocks"):
+        cb.submit(list(range(1, 18)))            # needs 17//8+1 = 3 blocks
+
+
+def test_paged_rejects_int8_kv_engine():
+    eng = make_engine(sequence_length=24, kv_cache_dtype="int8")
+    with pytest.raises(ValueError, match="bf16-only"):
+        PagedBatcher(eng, n_slots=1, block_size=BS)
+
+
+def test_cancel_releases_slot_and_blocks():
+    cb = make_paged(n_slots=1, n_blocks=8)
+    req = cb.submit([1, 5, 9], max_new_tokens=1000)
+    cb.step()                                    # admit + first decode
+    assert cb.slots[0] is req and cb.allocator.available < 7
+    req.cancel()
+    cb.step()                                    # sweep releases everything
+    assert cb.slots[0] is None
+    assert cb.allocator.available == 7
+    # the freed slot admits a new request that behaves normally
+    r2 = cb.submit([7, 8], max_new_tokens=4)
+    cb.run_until_idle()
+    assert [t for _, t in drain(r2)] == [t for _, t in seq_tokens([7, 8])[:4]]
