@@ -138,3 +138,16 @@ def q4_shardings(dense_sharding: NamedSharding, packed_shape, scale_shape):
     p_spec = _fit_spec(P(*lead, s_in, s_out, None), packed_shape, mesh)
     s_spec = _fit_spec(P(*lead, s_in, s_out), scale_shape, mesh)
     return NamedSharding(mesh, p_spec), NamedSharding(mesh, s_spec)
+
+
+def pool_sharding(mesh: Mesh) -> NamedSharding:
+    """Paged KV pool [L, n_blocks, KV, bs, D]: kv heads on tp (block writes,
+    the gather path, and attention all stay chip-local; the batch axis lives
+    in the block tables, so there is no dp dimension to shard)."""
+    return NamedSharding(mesh, P(None, None, "tp", None, None))
+
+
+def shard_pool(pool, mesh: Mesh):
+    """Reshard a PagedKVPool (models/llama/paged.py) for tensor parallelism."""
+    s = pool_sharding(mesh)
+    return type(pool)(k=jax.device_put(pool.k, s), v=jax.device_put(pool.v, s))

@@ -214,3 +214,44 @@ def test_tp_int8_cache_decode(params):
     tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
     logits, cache = FWD(sp, CFG, tok, 2, cache)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_tp_paged_decode_matches_single_device(params):
+    """Paged decode with a tp-sharded pool reproduces the unsharded paged
+    tokens (and therefore the dense greedy tokens, by test_paged parity)."""
+    from llama_nuts_and_bolts_tpu.models.llama.paged import (
+        PagedKVPool,
+        paged_decode_step,
+        paged_prefill,
+    )
+    from llama_nuts_and_bolts_tpu.parallel import shard_pool
+
+    bs, n_blocks = 8, 10
+    table = np.arange(1, 5, dtype=np.int32)
+    prompt = [1, 5, 9, 2, 7]
+    S = -(-len(prompt) // bs) * bs
+    padded = np.zeros((1, S), np.int32)
+    padded[0, :len(prompt)] = prompt
+
+    def run(shard):
+        pool = PagedKVPool.create(CFG, n_blocks, bs)
+        p = params
+        if shard:
+            mesh = make_mesh(tp=4, dp=1)
+            pool = shard_pool(pool, mesh)
+            p = shard_params(params, mesh)
+        logits, pool = jax.jit(paged_prefill, static_argnums=(1,))(
+            p, CFG, jnp.asarray(padded), len(prompt) - 1, pool,
+            jnp.asarray(table))
+        out = [int(jnp.argmax(logits[0]))]
+        pos = len(prompt)
+        step = jax.jit(paged_decode_step, static_argnums=(1, 6))
+        for _ in range(7):
+            logits, pool = step(p, CFG, jnp.asarray([[out[-1]]], jnp.int32),
+                                jnp.asarray([pos], jnp.int32), pool,
+                                jnp.asarray(table[None]), "xla")
+            out.append(int(jnp.argmax(logits[0])))
+            pos += 1
+        return out
+
+    assert run(shard=True) == run(shard=False)
