@@ -125,11 +125,12 @@ class PagedBatcher(ContinuousBatcher):
         self.n_slots = n_slots
         self.seq_len = engine.seq_len
         if attn_impl is None:
-            # auto: the block-table Pallas kernel on TPU when the head dim
-            # fills MXU lanes; the XLA gather oracle elsewhere (CPU tests)
-            on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-            attn_impl = ("pallas" if on_tpu and self.cfg.head_dim % 128 == 0
-                         else "xla")
+            # measured on v5e (docs/04-KERNELS.md): at serving shapes the
+            # XLA gather path runs within ~5% of a dense cache, while the
+            # block-table Pallas kernel loses ~25% to per-program overhead
+            # (grid batch x kv x blocks is thousands of tiny programs per
+            # step) — so XLA is the default and "pallas" is explicit opt-in
+            attn_impl = "xla"
         self.attn_impl = attn_impl
         self.block_size = block_size
         self.max_blocks = math.ceil(self.seq_len / block_size)
