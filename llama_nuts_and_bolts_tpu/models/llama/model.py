@@ -87,6 +87,17 @@ class KVCache:
         return self.k.dtype == jnp.int8
 
 
+def quantize_kv_rows(rows: jnp.ndarray):
+    """Per-(…, position) symmetric int8 over the head dim: returns
+    (int8 rows, bf16 scales with the last axis dropped). Shared by the dense
+    int8 KV cache and the paged int8 pool so both store identical values."""
+    s = jnp.maximum(jnp.max(jnp.abs(rows.astype(jnp.float32)), axis=-1),
+                    1e-8) / 127.0
+    qr = jnp.clip(jnp.round(rows.astype(jnp.float32) / s[..., None]),
+                  -127, 127).astype(jnp.int8)
+    return qr, s.astype(jnp.bfloat16)
+
+
 def attention_mask(seq_len: int, cache_len: int, start_pos) -> jnp.ndarray:
     """Additive fp32 mask [seq_len, cache_len]: 0 where visible, -inf where not."""
     rows = lax.broadcasted_iota(jnp.int32, (seq_len, cache_len), 0)
@@ -198,16 +209,8 @@ def forward(
         k = apply_rope(k, cos, sin).transpose(0, 2, 1, 3)         # [B,KV,S,D]
         v = v.transpose(0, 2, 1, 3)
         if quantized:
-            # per-(position, head) symmetric int8; scales stored bf16
-            def quantize_rows(rows):
-                s = jnp.maximum(jnp.max(jnp.abs(rows.astype(jnp.float32)),
-                                        axis=-1), 1e-8) / 127.0   # [B,KV,S]
-                qr = jnp.clip(jnp.round(rows.astype(jnp.float32) / s[..., None]),
-                              -127, 127).astype(jnp.int8)
-                return qr, s.astype(jnp.bfloat16)
-
-            kq, ks = quantize_rows(k)
-            vq, vs = quantize_rows(v)
+            kq, ks = quantize_kv_rows(k)                          # s: [B,KV,S]
+            vq, vs = quantize_kv_rows(v)
             ck, cks = write(ck, kq, start_pos), write(cks, ks, start_pos)
             cv, cvs = write(cv, vq, start_pos), write(cvs, vs, start_pos)
             att = attend(q, ck, cv, cks, cvs)

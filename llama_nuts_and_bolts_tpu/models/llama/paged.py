@@ -38,7 +38,7 @@ production-serving replacement for that capability.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +46,7 @@ from flax import struct
 from jax import lax
 
 from llama_nuts_and_bolts_tpu.io.params import ModelArgs
-from llama_nuts_and_bolts_tpu.models.llama.model import LlamaParams
+from llama_nuts_and_bolts_tpu.models.llama.model import LlamaParams, quantize_kv_rows
 from llama_nuts_and_bolts_tpu.models.llama.rope import apply_rope
 from llama_nuts_and_bolts_tpu.ops import gqa_attention, linear, rms_norm, swiglu
 
@@ -56,10 +56,17 @@ DEFAULT_BLOCK_SIZE = 32
 
 @struct.dataclass
 class PagedKVPool:
-    """Shared block pool. ``k``/``v``: [L, n_blocks, KV, block_size, D]."""
+    """Shared block pool. ``k``/``v``: [L, n_blocks, KV, block_size, D].
+
+    ``dtype=jnp.int8`` stores rows quantized per (position, head) with bf16
+    scale pools ``k_scale/v_scale`` [L, n_blocks, KV, block_size] — the same
+    write-once scheme as the dense int8 KVCache (models/llama/model.py), so
+    dequantized values are bit-identical between the two cache designs."""
 
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: Any = None
+    v_scale: Any = None
 
     @classmethod
     def create(cls, cfg: ModelArgs, n_blocks: int,
@@ -68,6 +75,10 @@ class PagedKVPool:
         if n_blocks < 2:
             raise ValueError("need at least one real block beyond the trash block")
         shape = (cfg.n_layers, n_blocks, cfg.kv_heads, block_size, cfg.head_dim)
+        if dtype == jnp.int8:
+            return cls(k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                       k_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+                       v_scale=jnp.zeros(shape[:-1], jnp.bfloat16))
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
@@ -78,56 +89,77 @@ class PagedKVPool:
     def n_blocks(self) -> int:
         return self.k.shape[1]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
+
 
 def _write_rows(pool_layer: jnp.ndarray, rows: jnp.ndarray,
                 blocks: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
-    """Write per-row k/v vectors into a layer's pool.
+    """Write per-row k/v data into a layer's pool.
 
-    pool_layer: [n_blocks, KV, bs, D]; rows: [B, KV, D];
-    blocks/offsets: [B] int32. Sequential over B (B is the slot count, small);
-    duplicate (block, offset) pairs only occur for trash writes.
+    Values: pool [n_blocks, KV, bs, D], rows [B, KV, D]. Scales (int8 mode):
+    pool [n_blocks, KV, bs], rows [B, KV]. blocks/offsets: [B] int32.
+    Sequential over B (B is the slot count, small); duplicate (block, offset)
+    pairs only occur for trash writes.
     """
     B = rows.shape[0]
+    vec = rows.ndim == 3                     # values carry a trailing D axis
 
     def body(b, pl_):
-        upd = rows[b][None, :, None, :].astype(pl_.dtype)     # [1, KV, 1, D]
-        return lax.dynamic_update_slice(pl_, upd, (blocks[b], 0, offsets[b], 0))
+        upd = rows[b][None, :, None, :] if vec else rows[b][None, :, None]
+        start = (blocks[b], 0, offsets[b]) + ((0,) if vec else ())
+        return lax.dynamic_update_slice(pl_, upd.astype(pl_.dtype), start)
 
     return lax.fori_loop(0, B, body, pool_layer)
 
 
 def _write_chunks(pool_layer: jnp.ndarray, rows: jnp.ndarray,
                   table_row: jnp.ndarray) -> jnp.ndarray:
-    """Write a prompt's k/v rows block by block.
+    """Write a prompt's k/v data block by block.
 
-    pool_layer: [n_blocks, KV, bs, D]; rows: [1, KV, S, D] with S a multiple
-    of bs; table_row: [max_blocks] int32 (entries beyond S/bs are trash and
-    harmlessly overwritten there).
+    Values: pool [n_blocks, KV, bs, D], rows [1, KV, S, D]. Scales: pool
+    [n_blocks, KV, bs], rows [1, KV, S]. S must be a multiple of bs;
+    table_row entries beyond S/bs are trash and harmlessly overwritten there.
     """
     bs = pool_layer.shape[2]
     S = rows.shape[2]
     n_chunks = S // bs
+    vec = rows.ndim == 4
 
     def body(i, pl_):
-        chunk = lax.dynamic_slice(
-            rows, (0, 0, i * bs, 0),
-            (1, rows.shape[1], bs, rows.shape[3]))[0]          # [KV, bs, D]
+        if vec:
+            chunk = lax.dynamic_slice(
+                rows, (0, 0, i * bs, 0),
+                (1, rows.shape[1], bs, rows.shape[3]))[0]      # [KV, bs, D]
+        else:
+            chunk = lax.dynamic_slice(
+                rows, (0, 0, i * bs), (1, rows.shape[1], bs))[0]  # [KV, bs]
         return lax.dynamic_update_slice(
-            pl_, chunk[None].astype(pl_.dtype), (table_row[i], 0, 0, 0))
+            pl_, chunk[None].astype(pl_.dtype),
+            (table_row[i], 0, 0) + ((0,) if vec else ()))
 
     return lax.fori_loop(0, n_chunks, body, pool_layer)
 
 
-def _gathered_attention(q, pool_k, pool_v, tables, positions):
+def _gathered_attention(q, pool_k, pool_v, tables, positions,
+                        pool_ks=None, pool_vs=None):
     """XLA paged-attention path: gather each row's blocks, then dense GQA.
 
     q: [B, 1, H, D]; pool_k/v: [n_blocks, KV, bs, D]; tables: [B, M];
-    positions: [B]. Visible slots are t <= positions[b].
+    positions: [B]. With an int8 pool, ``pool_ks/pool_vs`` carry the bf16
+    scale pools and the gathered tiles dequantize before the einsum.
+    Visible slots are t <= positions[b].
     """
     B, M = tables.shape
     KV, bs, D = pool_k.shape[1:]
     k = jnp.take(pool_k, tables, axis=0)                       # [B, M, KV, bs, D]
     v = jnp.take(pool_v, tables, axis=0)
+    if pool_ks is not None:
+        ks = jnp.take(pool_ks, tables, axis=0)                 # [B, M, KV, bs]
+        vs = jnp.take(pool_vs, tables, axis=0)
+        k = k.astype(jnp.bfloat16) * ks[..., None].astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16) * vs[..., None].astype(jnp.bfloat16)
     k = k.transpose(0, 2, 1, 3, 4).reshape(B, KV, M * bs, D)
     v = v.transpose(0, 2, 1, 3, 4).reshape(B, KV, M * bs, D)
     t = lax.broadcasted_iota(jnp.int32, (B, 1, M * bs), 2)
@@ -149,6 +181,7 @@ def paged_decode_step(
     B = tokens.shape[0]
     H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
     bs = pool.block_size
+    quantized = pool.quantized
 
     x = jnp.take(params.tok_embeddings, tokens, axis=0)        # [B, 1, dim]
     cos = jnp.take(params.rope_cos, positions, axis=0)[:, None, :]  # [B,1,D/2]
@@ -158,32 +191,56 @@ def paged_decode_step(
     offsets = positions % bs
 
     def block_fn(x, scanned):
-        w, pk, pv = scanned                                    # pk/pv [n_blocks,KV,bs,D]
+        if quantized:
+            w, pk, pv, pks, pvs = scanned
+        else:
+            w, pk, pv = scanned                                # pk/pv [n_blocks,KV,bs,D]
         h = rms_norm(x, w["attn_norm"], cfg.norm_eps)
         q = linear(h, w["wq"]).reshape(B, 1, H, D)
         k = linear(h, w["wk"]).reshape(B, 1, KV, D)
         v = linear(h, w["wv"]).reshape(B, 1, KV, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        pk = _write_rows(pk, k[:, 0], blocks, offsets)
-        pv = _write_rows(pv, v[:, 0], blocks, offsets)
-        if attn_impl == "pallas":
-            from llama_nuts_and_bolts_tpu.kernels.paged_attention import (
-                paged_flash_decode,
-            )
-
-            att = paged_flash_decode(q, pk, pv, tables, positions)
+        if quantized:
+            kq, ks = quantize_kv_rows(k[:, 0])                 # [B,KV,D], [B,KV]
+            vq, vs = quantize_kv_rows(v[:, 0])
+            pk = _write_rows(pk, kq, blocks, offsets)
+            pv = _write_rows(pv, vq, blocks, offsets)
+            pks = _write_rows(pks, ks, blocks, offsets)
+            pvs = _write_rows(pvs, vs, blocks, offsets)
+            att = _gathered_attention(q, pk, pv, tables, positions, pks, pvs)
+            carry = (pk, pv, pks, pvs)
         else:
-            att = _gathered_attention(q, pk, pv, tables, positions)
+            pk = _write_rows(pk, k[:, 0], blocks, offsets)
+            pv = _write_rows(pv, v[:, 0], blocks, offsets)
+            if attn_impl == "pallas":
+                from llama_nuts_and_bolts_tpu.kernels.paged_attention import (
+                    paged_flash_decode,
+                )
+
+                att = paged_flash_decode(q, pk, pv, tables, positions)
+            else:
+                att = _gathered_attention(q, pk, pv, tables, positions)
+            carry = (pk, pv)
         x = x + linear(att.reshape(B, 1, H * D), w["wo"])
         h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
         x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
-        return x, (pk, pv)
+        return x, carry
 
-    x, (pk_new, pv_new) = lax.scan(block_fn, x, (params.layers, pool.k, pool.v))
+    if quantized:
+        if attn_impl == "pallas":
+            raise ValueError("the paged Pallas kernel is bf16-only; int8 "
+                             "pools use the XLA gather path")
+        xs = (params.layers, pool.k, pool.v, pool.k_scale, pool.v_scale)
+        x, (pk_new, pv_new, pks_new, pvs_new) = lax.scan(block_fn, x, xs)
+        new_pool = PagedKVPool(k=pk_new, v=pv_new,
+                               k_scale=pks_new, v_scale=pvs_new)
+    else:
+        x, (pk_new, pv_new) = lax.scan(block_fn, x, (params.layers, pool.k, pool.v))
+        new_pool = PagedKVPool(k=pk_new, v=pv_new)
     x = rms_norm(x, params.norm, cfg.norm_eps)
     logits = linear(x[:, 0], params.output, out_dtype=jnp.float32)  # [B, vocab]
-    return logits, PagedKVPool(k=pk_new, v=pv_new)
+    return logits, new_pool
 
 
 def paged_prefill(
@@ -216,8 +273,13 @@ def paged_prefill(
     cols = lax.broadcasted_iota(jnp.int32, (S, S), 1)
     mask = jnp.where(cols <= rows, 0.0, -jnp.inf).astype(jnp.float32)[None]
 
+    quantized = pool.quantized
+
     def block_fn(x, scanned):
-        w, pk, pv = scanned
+        if quantized:
+            w, pk, pv, pks, pvs = scanned
+        else:
+            w, pk, pv = scanned
         h = rms_norm(x, w["attn_norm"], cfg.norm_eps)
         q = linear(h, w["wq"]).reshape(B, S, H, D)
         k = linear(h, w["wk"]).reshape(B, S, KV, D)
@@ -225,16 +287,39 @@ def paged_prefill(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin).transpose(0, 2, 1, 3)      # [1, KV, S, D]
         v = v.transpose(0, 2, 1, 3)
-        pk = _write_chunks(pk, k, table_row)
-        pv = _write_chunks(pv, v, table_row)
+        if quantized:
+            kq, ks = quantize_kv_rows(k)                       # [1,KV,S,*]
+            vq, vs = quantize_kv_rows(v)
+            pk = _write_chunks(pk, kq, table_row)
+            pv = _write_chunks(pv, vq, table_row)
+            pks = _write_chunks(pks, ks, table_row)
+            pvs = _write_chunks(pvs, vs, table_row)
+            carry = (pk, pv, pks, pvs)
+            # attend the DEQUANTIZED rows — the dense int8 cache's prefill
+            # attention reads back the cache it just wrote, so the paged
+            # pool must see the same quantization error to stay token-exact
+            # with it (prefill still never reads the pool itself)
+            k = kq.astype(jnp.bfloat16) * ks[..., None].astype(jnp.bfloat16)
+            v = vq.astype(jnp.bfloat16) * vs[..., None].astype(jnp.bfloat16)
+        else:
+            pk = _write_chunks(pk, k, table_row)
+            pv = _write_chunks(pv, v, table_row)
+            carry = (pk, pv)
         att = gqa_attention(q, k, v, mask)
         x = x + linear(att.reshape(B, S, H * D), w["wo"])
         h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
         x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
-        return x, (pk, pv)
+        return x, carry
 
-    x, (pk_new, pv_new) = lax.scan(block_fn, x, (params.layers, pool.k, pool.v))
+    if quantized:
+        xs = (params.layers, pool.k, pool.v, pool.k_scale, pool.v_scale)
+        x, (pk_new, pv_new, pks_new, pvs_new) = lax.scan(block_fn, x, xs)
+        new_pool = PagedKVPool(k=pk_new, v=pv_new,
+                               k_scale=pks_new, v_scale=pvs_new)
+    else:
+        x, (pk_new, pv_new) = lax.scan(block_fn, x, (params.layers, pool.k, pool.v))
+        new_pool = PagedKVPool(k=pk_new, v=pv_new)
     x = lax.dynamic_slice_in_dim(x, logits_at, 1, axis=1)      # [1, 1, dim]
     x = rms_norm(x, params.norm, cfg.norm_eps)
     logits = linear(x[:, 0], params.output, out_dtype=jnp.float32)
-    return logits, PagedKVPool(k=pk_new, v=pv_new)
+    return logits, new_pool

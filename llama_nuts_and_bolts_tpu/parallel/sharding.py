@@ -150,4 +150,9 @@ def pool_sharding(mesh: Mesh) -> NamedSharding:
 def shard_pool(pool, mesh: Mesh):
     """Reshard a PagedKVPool (models/llama/paged.py) for tensor parallelism."""
     s = pool_sharding(mesh)
+    if pool.quantized:
+        ss = NamedSharding(mesh, P(None, None, "tp", None))   # scale pools
+        return type(pool)(k=jax.device_put(pool.k, s), v=jax.device_put(pool.v, s),
+                          k_scale=jax.device_put(pool.k_scale, ss),
+                          v_scale=jax.device_put(pool.v_scale, ss))
     return type(pool)(k=jax.device_put(pool.k, s), v=jax.device_put(pool.v, s))

@@ -115,10 +115,6 @@ class PagedBatcher(ContinuousBatcher):
                  attn_impl: Optional[str] = None) -> None:
         import threading
 
-        if getattr(engine.args, "kv_cache_dtype", "bf16") == "int8":
-            raise ValueError(
-                "the paged KV pool is bf16-only; --kv-cache int8 requires the "
-                "dense continuous batcher (drop --paged-blocks)")
         self.engine = engine
         self.cfg = engine.model.cfg
         self.vocab = engine.model.vocab
@@ -136,7 +132,13 @@ class PagedBatcher(ContinuousBatcher):
         self.max_blocks = math.ceil(self.seq_len / block_size)
         if n_blocks is None:
             n_blocks = 1 + n_slots * self.max_blocks
-        self.pool = PagedKVPool.create(self.cfg, n_blocks, block_size)
+        kv_dtype = (jnp.int8 if getattr(engine.args, "kv_cache_dtype", "bf16")
+                    == "int8" else jnp.bfloat16)
+        if kv_dtype == jnp.int8 and attn_impl == "pallas":
+            raise ValueError("the paged Pallas kernel is bf16-only; int8 "
+                             "pools use the XLA gather path")
+        self.pool = PagedKVPool.create(self.cfg, n_blocks, block_size,
+                                       dtype=kv_dtype)
         self.allocator = BlockAllocator(n_blocks, block_size)
         self.tables = np.full((n_slots, self.max_blocks), TRASH_BLOCK, np.int32)
         self._slot_blocks: List[List[int]] = [[] for _ in range(n_slots)]

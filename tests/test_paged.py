@@ -206,10 +206,10 @@ def test_submit_rejects_prompt_larger_than_pool():
         cb.submit(list(range(1, 18)))            # needs 17//8+1 = 3 blocks
 
 
-def test_paged_rejects_int8_kv_engine():
+def test_paged_honors_int8_kv_engine():
     eng = make_engine(sequence_length=24, kv_cache_dtype="int8")
-    with pytest.raises(ValueError, match="bf16-only"):
-        PagedBatcher(eng, n_slots=1, block_size=BS)
+    cb = PagedBatcher(eng, n_slots=1, block_size=BS)
+    assert cb.pool.quantized and cb.pool.k_scale is not None
 
 
 def test_cancel_releases_slot_and_blocks():
@@ -225,3 +225,73 @@ def test_cancel_releases_slot_and_blocks():
     r2 = cb.submit([7, 8], max_new_tokens=4)
     cb.run_until_idle()
     assert [t for _, t in drain(r2)] == [t for _, t in seq_tokens([7, 8])[:4]]
+
+
+# ------------------------------------------------------------- int8 KV pool
+
+def greedy_dense_int8(prompt, steps, seq_cap=32):
+    cfg, params = ENGINE.model.cfg, ENGINE.model.params
+    cache = KVCache.create(cfg, 1, seq_cap, dtype=jnp.int8)
+    toks = jnp.asarray([prompt], jnp.int32)
+    logits, cache = FWD(params, cfg, toks, 0, cache)
+    out = [int(jnp.argmax(logits[0, len(prompt) - 1]))]
+    pos = len(prompt)
+    for _ in range(steps - 1):
+        t = jnp.asarray([[out[-1]]], jnp.int32)
+        logits, cache = FWD(params, cfg, t, pos, cache)
+        out.append(int(jnp.argmax(logits[0, -1])))
+        pos += 1
+    return out
+
+
+def greedy_paged_int8(prompt, steps, n_blocks=16):
+    cfg, params = ENGINE.model.cfg, ENGINE.model.params
+    pool = PagedKVPool.create(cfg, n_blocks, BS, dtype=jnp.int8)
+    table = np.arange(1, 5, dtype=np.int32)
+    S = -(-len(prompt) // BS) * BS
+    padded = np.zeros((1, S), np.int32)
+    padded[0, :len(prompt)] = prompt
+    logits, pool = jax.jit(paged_prefill, static_argnums=(1,))(
+        params, cfg, jnp.asarray(padded), len(prompt) - 1, pool,
+        jnp.asarray(table))
+    out = [int(jnp.argmax(logits[0]))]
+    pos = len(prompt)
+    step = jax.jit(paged_decode_step, static_argnums=(1, 6))
+    for _ in range(steps - 1):
+        logits, pool = step(params, cfg, jnp.asarray([[out[-1]]], jnp.int32),
+                            jnp.asarray([pos], jnp.int32), pool,
+                            jnp.asarray(table[None]), "xla")
+        out.append(int(jnp.argmax(logits[0])))
+        pos += 1
+    return out
+
+
+def test_paged_int8_matches_dense_int8_greedy():
+    """int8 paged pool stores the identical per-row quantization the dense
+    int8 cache stores, so greedy tokens must match token-for-token."""
+    prompt = [1, 5, 9, 2, 7]
+    assert greedy_paged_int8(prompt, 10) == greedy_dense_int8(prompt, 10)
+
+
+def test_paged_batcher_int8_end_to_end():
+    eng = make_engine(sequence_length=24, kv_cache_dtype="int8")
+    cb = PagedBatcher(eng, n_slots=2, block_size=BS)
+    assert cb.pool.quantized
+    prompts = [[1, 5, 9], [7, 8]]
+    reqs = [cb.submit(p, max_new_tokens=8) for p in prompts]
+    cb.run_until_idle()
+    # oracle: the dense continuous batcher with the same int8 engine args
+    from llama_nuts_and_bolts_tpu.runtime.continuous import ContinuousBatcher
+
+    eng2 = make_engine(sequence_length=24, kv_cache_dtype="int8")
+    cb2 = ContinuousBatcher(eng2, n_slots=2)
+    refs = [cb2.submit(p, max_new_tokens=8) for p in prompts]
+    cb2.run_until_idle()
+    for r, ref in zip(reqs, refs):
+        assert [t for _, t in drain(r)] == [t for _, t in drain(ref)]
+
+
+def test_paged_pallas_rejected_for_int8():
+    eng = make_engine(sequence_length=24, kv_cache_dtype="int8")
+    with pytest.raises(ValueError, match="bf16-only"):
+        PagedBatcher(eng, n_slots=1, block_size=BS, attn_impl="pallas")
