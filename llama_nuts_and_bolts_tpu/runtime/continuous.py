@@ -95,6 +95,23 @@ def _decode_step(params, cfg, tokens, positions, cache: KVCache,
     return toks, lp, cache
 
 
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))
+def _decode_step_spec(params, cfg, tokens, positions, cache: KVCache,
+                      keys, temps, top_ks, top_ps):
+    """Speculative shared step: tokens [B, K+1] = per-row feed token + K
+    drafts, at per-row ``positions``. Returns the greedy argmax of EVERY row
+    (the verification chain), a sampled token from row 0 (for sampled slots,
+    which never speculate), row-0 logprob info, and the cache. Rejected
+    rows' K/V writes are invisible until overwritten — the same staleness
+    argument as the sequential speculative engine."""
+    logits, cache = forward(params, cfg, tokens, positions, cache)
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # [B, K+1]
+    sampled0 = sample_tokens_batched(logits[:, 0], keys, positions,
+                                     temps, top_ks, top_ps)
+    lp0 = top_logprobs_batched(logits[:, 0], sampled0, LOGPROBS_K)
+    return preds, sampled0, lp0, cache
+
+
 @dataclass
 class Request:
     """A submitted prompt and its streaming output queue."""
@@ -141,19 +158,31 @@ class ContinuousBatcher:
     dispatch per admission plus one per step.
     """
 
-    def __init__(self, engine, n_slots: int = 8):
+    def __init__(self, engine, n_slots: int = 8, speculate_k: int = 0):
         self.engine = engine
         self.cfg = engine.model.cfg
         self.vocab = engine.model.vocab
         self.n_slots = n_slots
         self.seq_len = engine.seq_len
-        self.cache = engine.new_cache(n_slots)
+        self.speculate_k = speculate_k
+        if speculate_k:
+            # cache rows [seq_len, seq_len + K): draft rows past the cap may
+            # be written (then masked/overwritten) — never clamp a
+            # dynamic_update_slice back onto valid rows
+            self.cache = KVCache.create(
+                self.cfg, n_slots, self.seq_len + speculate_k,
+                dtype=(jnp.int8 if engine.args.kv_cache_dtype == "int8"
+                       else jnp.bfloat16))
+            self._proposers = [None] * n_slots
+        else:
+            self.cache = engine.new_cache(n_slots)
         self.slots: List[Optional[Request]] = [None] * n_slots
         # per-slot feed token and position of that token (= next write pos)
         self._feed = np.zeros(n_slots, dtype=np.int32)
         self._pos = np.zeros(n_slots, dtype=np.int32)
         self._init_sampling_state(n_slots)
         self.pending: "queue.Queue[Request]" = queue.Queue()
+        self.spec_stats = {"spec_steps": 0, "drafted": 0, "accepted": 0}
         self._lock = threading.Lock()
 
     # ------------------------------------------------------------- public
@@ -229,8 +258,20 @@ class ContinuousBatcher:
             self.slots[slot] = req
             self._feed[slot] = int(first)
             self._pos[slot] = plen
+            if self.speculate_k and self._speculates(req):
+                from llama_nuts_and_bolts_tpu.runtime.speculative import (
+                    NgramProposer,
+                )
+
+                self._proposers[slot] = NgramProposer(
+                    req.prompt + [int(first)])
             self._record_logprobs(slot, int(first), lp)
             self._emit(slot, int(first))
+
+    def _speculates(self, req: Request) -> bool:
+        """Only greedy, no-logprobs requests draft (sampled rows can't be
+        verified by argmax; logprobs need one step per token)."""
+        return req.temperature <= 0.0 and not req.want_logprobs
 
     def _record_logprobs(self, slot: int, tok: int, lp, row=None) -> None:
         """Append (token, chosen_lp, top list) for slot's request if asked.
@@ -277,6 +318,8 @@ class ContinuousBatcher:
         self.slots[slot] = None
         self._feed[slot] = 0
         self._clear_sampling(slot)
+        if self.speculate_k:
+            self._proposers[slot] = None
 
     def _sweep_cancelled(self) -> None:
         for slot, r in enumerate(self.slots):
@@ -284,6 +327,9 @@ class ContinuousBatcher:
                 self._release_slot(slot)
 
     def step(self) -> None:
+        if self.speculate_k:
+            self._step_speculative()
+            return
         with self._lock:
             self._sweep_cancelled()
             self._admit()
@@ -303,6 +349,66 @@ class ContinuousBatcher:
                     self._feed[slot] = int(nxt[slot])
                     self._record_logprobs(slot, int(nxt[slot]), lp, row=slot)
                     self._emit(slot, int(nxt[slot]))
+
+    def _step_speculative(self) -> None:
+        """One speculative iteration: every slot's feed token plus up to K
+        n-gram drafts verify in ONE [B, K+1] forward (per-row positions);
+        each greedy slot emits its accepted chain, sampled slots emit their
+        row-0 sample. The step costs the same weight read as S=1."""
+        from llama_nuts_and_bolts_tpu.runtime.speculative import (
+            longest_accepted_prefix,
+        )
+
+        K = self.speculate_k
+        with self._lock:
+            self._sweep_cancelled()
+            self._admit()
+            if not any(r is not None for r in self.slots):
+                return
+            step_tokens = np.tile(self._feed[:, None], (1, K + 1))
+            draft_lists = [[] for _ in range(self.n_slots)]
+            for slot in range(self.n_slots):
+                prop = self._proposers[slot] if self.slots[slot] else None
+                if prop is not None and int(self._pos[slot]) + 1 + K < self.seq_len:
+                    drafts = prop.propose(K)
+                    draft_lists[slot] = drafts
+                    step_tokens[slot, 1:1 + len(drafts)] = drafts
+
+            preds, sampled0, lp, self.cache = _decode_step_spec(
+                self.engine.model.params, self.cfg,
+                jnp.asarray(step_tokens), jnp.asarray(self._pos), self.cache,
+                jnp.asarray(self._key), jnp.asarray(self._temp),
+                jnp.asarray(self._topk), jnp.asarray(self._topp))
+            preds = np.asarray(preds)
+            sampled0 = np.asarray(sampled0)
+
+            pos_cap = int(self.cache.max_seq) - 1
+            for slot in range(self.n_slots):
+                req = self.slots[slot]
+                p0 = int(self._pos[slot])
+                if req is None:
+                    self._pos[slot] = min(p0 + 1, pos_cap)
+                    continue
+                if self._proposers[slot] is not None:
+                    drafts = draft_lists[slot]
+                    acc = longest_accepted_prefix(
+                        drafts, preds[slot, :len(drafts)].tolist())
+                    chain = drafts[:acc] + [int(preds[slot, acc])]
+                    self.spec_stats["spec_steps"] += 1
+                    self.spec_stats["drafted"] += len(drafts)
+                    self.spec_stats["accepted"] += acc
+                else:
+                    chain = [int(sampled0[slot])]
+                for j, tok in enumerate(chain):
+                    if self.slots[slot] is None:
+                        break                      # a stop token ended it
+                    self._pos[slot] = min(p0 + j + 1, pos_cap)
+                    self._feed[slot] = tok
+                    if self._proposers[slot] is not None:
+                        self._proposers[slot].extend([tok])
+                    else:
+                        self._record_logprobs(slot, tok, lp, row=slot)
+                    self._emit(slot, tok)
 
     # -------------------------------------------------------- serving glue
 

@@ -120,6 +120,7 @@ class PagedBatcher(ContinuousBatcher):
         self.vocab = engine.model.vocab
         self.n_slots = n_slots
         self.seq_len = engine.seq_len
+        self.speculate_k = 0     # speculation is a dense-batcher feature
         if attn_impl is None:
             # measured on v5e (docs/04-KERNELS.md): at serving shapes the
             # XLA gather path runs within ~5% of a dense cache, while the

@@ -89,7 +89,9 @@ class LlamaHTTPServer:
                     ContinuousBatcher,
                 )
 
-                self.batcher = ContinuousBatcher(engine, n_slots=continuous_slots)
+                self.batcher = ContinuousBatcher(
+                    engine, n_slots=continuous_slots,
+                    speculate_k=getattr(engine.args, "speculate_k", 0))
             self.batcher.serve_forever_in_thread()
 
     # ------------------------------------------------------------ requests

@@ -210,3 +210,54 @@ def test_batched_topp_applies_after_topk():
         logits, keys, pos, jnp.full(16, 1.0), jnp.full(16, 2, jnp.int32),
         jnp.full(16, 0.6))
     assert np.asarray(toks).tolist() == [0] * 16
+
+
+# ------------------------------------------------- speculative batched decode
+
+def test_spec_batcher_matches_plain_greedy():
+    """Speculative continuous batching must emit exactly the plain batcher's
+    (= sequential engine's) greedy tokens for every slot."""
+    eng = make_engine(sequence_length=32)
+    cb = ContinuousBatcher(eng, n_slots=3, speculate_k=3)
+    prompts = [[3, 3, 3, 3], [1, 5, 9], [7, 8]]
+    reqs = [cb.submit(p) for p in prompts]
+    cb.run_until_idle()
+    for p, r in zip(prompts, reqs):
+        ref = list(make_engine(sequence_length=32).generate_tokens(p))
+        assert drain(r) == ref, f"divergence for prompt {p}"
+    assert cb.spec_stats["drafted"] >= 0
+
+
+def test_spec_batcher_accepts_on_repetitive_prompts():
+    eng = make_engine(sequence_length=48)
+    cb = ContinuousBatcher(eng, n_slots=2, speculate_k=4)
+    r = cb.submit([3, 3, 3, 3])
+    cb.run_until_idle()
+    ref = list(make_engine(sequence_length=48).generate_tokens([3, 3, 3, 3]))
+    assert drain(r) == ref
+    if len(ref) > 12:
+        assert cb.spec_stats["accepted"] > 0
+
+
+def test_spec_batcher_mixed_greedy_and_sampled():
+    """Sampled slots ride the same speculative step without speculating;
+    greedy neighbors still match, sampled ones stay seed-deterministic."""
+    eng = make_engine(sequence_length=32)
+    cb = ContinuousBatcher(eng, n_slots=3, speculate_k=3)
+    g = cb.submit([1, 5, 9], max_new_tokens=10)
+    s1 = cb.submit([7, 8], max_new_tokens=10, temperature=1.1, seed=4)
+    cb.run_until_idle()
+    s2 = cb.submit([7, 8], max_new_tokens=10, temperature=1.1, seed=4)
+    cb.run_until_idle()
+    ref = list(make_engine(sequence_length=32).generate_tokens([1, 5, 9]))[:10]
+    assert [t for _, t in drain(g)] == [t for _, t in ref]
+    assert toks_of(s1) == toks_of(s2)
+
+
+def test_spec_batcher_respects_seq_cap():
+    eng = make_engine(sequence_length=10)
+    cb = ContinuousBatcher(eng, n_slots=1, speculate_k=4)
+    r = cb.submit([1, 5, 9, 1, 5, 9])
+    cb.run_until_idle()
+    ref = list(make_engine(sequence_length=10).generate_tokens([1, 5, 9, 1, 5, 9]))
+    assert drain(r) == ref
