@@ -45,7 +45,8 @@ class ModelArgs:
     def model_type(self) -> str:
         """Architecture label by layer count, like the reference's detection
         (reference: src/model/loader.go:60-63)."""
-        return {32: "Llama-3.1-8B", 80: "Llama-3.1-70B",
+        return {16: "Llama-3.2-1B", 28: "Llama-3.2-3B",
+                32: "Llama-3.1-8B", 80: "Llama-3.1-70B",
                 126: "Llama-3.1-405B"}.get(self.n_layers,
                                            f"Llama-custom-{self.n_layers}L")
 

@@ -68,6 +68,10 @@ def expected_tensor_shapes(cfg: ModelArgs) -> Dict[str, Tuple[int, ...]]:
 
 def validate_checkpoint(tensors: Dict[str, HostTensor], cfg: ModelArgs) -> None:
     expected = expected_tensor_shapes(cfg)
+    if "output.weight" not in tensors:
+        # Llama-3.2 (1B/3B) checkpoints tie the output head to the token
+        # embedding and ship no separate output.weight
+        expected.pop("output.weight")
     missing = sorted(set(expected) - set(tensors))
     if missing:
         raise CheckpointShapeError(
@@ -158,11 +162,14 @@ def build_params_from_checkpoint(
         cfg.head_dim, 2 * cfg.max_sequence_length, cfg.rope_theta, cfg.use_scaled_rope
     )
     rope_sharding = sharding_fn("rope") if sharding_fn is not None else None
+    # tied output head (Llama-3.2 1B/3B): reuse the embedding matrix — same
+    # host bytes, quantized/sharded through the regular output path
+    out_host = tensors.get("output.weight", tensors["tok_embeddings.weight"]).array
     return LlamaParams(
         tok_embeddings=put("tok_embeddings", tensors["tok_embeddings.weight"].array),
         layers=layers,
         norm=put("norm", tensors["norm.weight"].array),
-        output=put_weight("output", tensors["output.weight"].array),
+        output=put_weight("output", out_host),
         rope_cos=jax.device_put(cos, rope_sharding) if rope_sharding else jnp.asarray(cos),
         rope_sin=jax.device_put(sin, rope_sharding) if rope_sharding else jnp.asarray(sin),
     )

@@ -278,3 +278,31 @@ def test_init_random_params_shapes():
     assert params.tok_embeddings.shape == (TINY.vocab_size, TINY.dim)
     assert params.layers["wq"].shape == (TINY.n_layers, TINY.dim, TINY.dim)
     assert params.rope_cos.shape == (2 * TINY.max_sequence_length, TINY.head_dim // 2)
+
+
+def test_tied_embeddings_checkpoint_loads(tiny_model):
+    """Llama-3.2-style checkpoints ship no output.weight: the head ties to
+    the token embedding. Logits must equal an explicit-tied checkpoint's."""
+    weights, _ = tiny_model
+    import torch
+
+    tied = {k: v for k, v in weights.items() if k != "output.weight"}
+    tensors = to_host_tensors(tied)
+    validate_checkpoint(tensors, TINY)           # no error without the head
+    params = build_params_from_checkpoint(tensors, TINY)
+
+    explicit = dict(weights)
+    explicit["output.weight"] = weights["tok_embeddings.weight"]
+    params_ref = build_params_from_checkpoint(to_host_tensors(explicit), TINY)
+
+    toks = jnp.asarray([[1, 5, 9]], jnp.int32)
+    cache = KVCache.create(TINY, 1, 16)
+    logits, _ = jax.jit(forward, static_argnums=(1,))(params, TINY, toks, 0, cache)
+    cache2 = KVCache.create(TINY, 1, 16)
+    ref, _ = jax.jit(forward, static_argnums=(1,))(params_ref, TINY, toks, 0, cache2)
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(ref))
+
+
+def test_model_type_covers_llama32():
+    assert ModelArgs(n_layers=16).model_type == "Llama-3.2-1B"
+    assert ModelArgs(n_layers=28).model_type == "Llama-3.2-3B"
