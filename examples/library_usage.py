@@ -7,6 +7,11 @@ or smoke-test without weights:
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from llama_nuts_and_bolts_tpu import InferenceArgs, InferenceEngine, PromptPart
 
