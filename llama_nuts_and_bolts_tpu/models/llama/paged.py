@@ -167,6 +167,117 @@ def _gathered_attention(q, pool_k, pool_v, tables, positions,
     return gqa_attention(q, k, v, mask)
 
 
+def paged_prefill_shared(
+    params: LlamaParams,
+    cfg: ModelArgs,
+    tokens: jnp.ndarray,      # int32 [1, S] — prompt SUFFIX, S % block_size == 0
+    shared_len,               # traced int32, multiple of block_size
+    logits_at,                # traced int32: suffix-local index of last real row
+    pool: PagedKVPool,
+    table_row: jnp.ndarray,   # int32 [max_blocks] — shared + owned blocks
+) -> Tuple[jnp.ndarray, PagedKVPool]:
+    """Suffix-only prefill for a prefix-cache hit.
+
+    The request's first ``shared_len`` positions already live in shared pool
+    blocks (table_row[: shared_len // bs], written by an earlier request with
+    the same prompt prefix — see runtime/block_pool.py). Only the suffix rows
+    are projected; their K/V land in the table row's blocks starting at block
+    ``shared_len // bs``, and attention sees the gathered shared prefix
+    (masked ``t < shared_len``) plus the causal suffix. Shared blocks are
+    never written: suffix chunk writes start past them by construction.
+
+    Returns (logits [1, vocab] at suffix row ``logits_at``, updated pool).
+    """
+    B, S = tokens.shape
+    if B != 1:
+        raise ValueError("paged_prefill_shared handles one request at a time")
+    bs = pool.block_size
+    if S % bs:
+        raise ValueError(f"suffix length {S} must be a multiple of the "
+                         f"block size {bs}")
+    H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+    M = table_row.shape[0]
+    quantized = pool.quantized
+
+    x = jnp.take(params.tok_embeddings, tokens, axis=0)
+    cos = lax.dynamic_slice_in_dim(params.rope_cos, shared_len, S)[None]
+    sin = lax.dynamic_slice_in_dim(params.rope_sin, shared_len, S)[None]
+
+    # suffix chunk i writes to table_row[shared_len // bs + i]; out-of-range
+    # chunk slots (padding past the prompt's owned blocks) read trash
+    padded_row = jnp.concatenate(
+        [table_row, jnp.full((M,), TRASH_BLOCK, jnp.int32)])
+    chunk_blocks = lax.dynamic_slice(padded_row, (shared_len // bs,), (M,))
+
+    # masks: every suffix query sees the whole shared prefix; causal within
+    # the suffix. Key axis = [M * bs pool slots] ++ [S suffix rows].
+    t_pool = lax.broadcasted_iota(jnp.int32, (S, M * bs), 1)
+    prefix_mask = jnp.where(t_pool < shared_len, 0.0, -jnp.inf)
+    rows = lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    suffix_mask = jnp.where(cols <= rows, 0.0, -jnp.inf)
+    mask = jnp.concatenate([prefix_mask, suffix_mask],
+                           axis=1).astype(jnp.float32)[None]
+
+    def gather_prefix(pl, scale=None):
+        g = jnp.take(pl, table_row, axis=0)                # [M, KV, bs, D?]
+        if scale is not None:
+            gs = jnp.take(scale, table_row, axis=0)        # [M, KV, bs]
+            g = g.astype(jnp.bfloat16) * gs[..., None].astype(jnp.bfloat16)
+        return g.transpose(1, 0, 2, 3).reshape(1, KV, M * bs, D)
+
+    def block_fn(x, scanned):
+        if quantized:
+            w, pk, pv, pks, pvs = scanned
+        else:
+            w, pk, pv = scanned
+        h = rms_norm(x, w["attn_norm"], cfg.norm_eps)
+        q = linear(h, w["wq"]).reshape(B, S, H, D)
+        k = linear(h, w["wk"]).reshape(B, S, KV, D)
+        v = linear(h, w["wv"]).reshape(B, S, KV, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin).transpose(0, 2, 1, 3)  # [1, KV, S, D]
+        v = v.transpose(0, 2, 1, 3)
+        if quantized:
+            kq, ks = quantize_kv_rows(k)
+            vq, vs = quantize_kv_rows(v)
+            pk = _write_chunks(pk, kq, chunk_blocks)
+            pv = _write_chunks(pv, vq, chunk_blocks)
+            pks = _write_chunks(pks, ks, chunk_blocks)
+            pvs = _write_chunks(pvs, vs, chunk_blocks)
+            carry = (pk, pv, pks, pvs)
+            # attend dequantized suffix rows for bit-parity with the
+            # unshared quantized prefill (see paged_prefill)
+            k = kq.astype(jnp.bfloat16) * ks[..., None].astype(jnp.bfloat16)
+            v = vq.astype(jnp.bfloat16) * vs[..., None].astype(jnp.bfloat16)
+            k_all = jnp.concatenate([gather_prefix(pk, pks), k], axis=2)
+            v_all = jnp.concatenate([gather_prefix(pv, pvs), v], axis=2)
+        else:
+            pk = _write_chunks(pk, k, chunk_blocks)
+            pv = _write_chunks(pv, v, chunk_blocks)
+            carry = (pk, pv)
+            k_all = jnp.concatenate([gather_prefix(pk), k], axis=2)
+            v_all = jnp.concatenate([gather_prefix(pv), v], axis=2)
+        att = gqa_attention(q, k_all, v_all, mask)
+        x = x + linear(att.reshape(B, S, H * D), w["wo"])
+        h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
+        x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
+        return x, carry
+
+    if quantized:
+        xs = (params.layers, pool.k, pool.v, pool.k_scale, pool.v_scale)
+        x, (pk_new, pv_new, pks_new, pvs_new) = lax.scan(block_fn, x, xs)
+        new_pool = PagedKVPool(k=pk_new, v=pv_new,
+                               k_scale=pks_new, v_scale=pvs_new)
+    else:
+        x, (pk_new, pv_new) = lax.scan(block_fn, x, (params.layers, pool.k, pool.v))
+        new_pool = PagedKVPool(k=pk_new, v=pv_new)
+    x = lax.dynamic_slice_in_dim(x, logits_at, 1, axis=1)
+    x = rms_norm(x, params.norm, cfg.norm_eps)
+    logits = linear(x[:, 0], params.output, out_dtype=jnp.float32)
+    return logits, new_pool
+
+
 def paged_decode_step(
     params: LlamaParams,
     cfg: ModelArgs,

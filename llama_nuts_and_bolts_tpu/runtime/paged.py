@@ -43,6 +43,11 @@ from llama_nuts_and_bolts_tpu.models.llama.paged import (
     PagedKVPool,
     paged_decode_step,
     paged_prefill,
+    paged_prefill_shared,
+)
+from llama_nuts_and_bolts_tpu.runtime.block_pool import (
+    PrefixBlockAllocator,
+    chain_block_hashes,
 )
 from llama_nuts_and_bolts_tpu.ops.sampling import (
     sample_tokens_batched,
@@ -90,6 +95,21 @@ def _prefill_jit(params, cfg, tokens, logits_at, pool, table_row,
     return tok[0], (lp[0][0], lp[1][0], lp[2][0]), pool
 
 
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(5,))
+def _prefill_shared_jit(params, cfg, tokens, shared_len, logits_at, pool,
+                        table_row, sample_pos, key, temp, top_k, top_p):
+    """Suffix-only prefill on a prefix-cache hit. ``sample_pos`` is the
+    GLOBAL position of the sampled token (prompt_len - 1) so seeded sampling
+    folds in the same position as an unshared prefill would — a cache hit
+    never changes the sampled stream."""
+    logits, pool = paged_prefill_shared(params, cfg, tokens, shared_len,
+                                        logits_at, pool, table_row)
+    tok = sample_tokens_batched(logits, key[None], sample_pos[None],
+                                temp[None], top_k[None], top_p[None])
+    lp = top_logprobs_batched(logits, tok, LOGPROBS_K)
+    return tok[0], (lp[0][0], lp[1][0], lp[2][0]), pool
+
+
 @functools.partial(jax.jit, static_argnums=(1, 6), donate_argnums=(4,))
 def _decode_jit(params, cfg, tokens, positions, pool, tables, attn_impl,
                 keys, temps, top_ks, top_ps):
@@ -112,7 +132,9 @@ class PagedBatcher(ContinuousBatcher):
     def __init__(self, engine, n_slots: int = 8,
                  n_blocks: Optional[int] = None,
                  block_size: int = DEFAULT_BLOCK_SIZE,
-                 attn_impl: Optional[str] = None) -> None:
+                 attn_impl: Optional[str] = None,
+                 prefix_cache: bool = True,
+                 allocator_backend: str = "auto") -> None:
         import threading
 
         self.engine = engine
@@ -140,7 +162,9 @@ class PagedBatcher(ContinuousBatcher):
                              "pools use the XLA gather path")
         self.pool = PagedKVPool.create(self.cfg, n_blocks, block_size,
                                        dtype=kv_dtype)
-        self.allocator = BlockAllocator(n_blocks, block_size)
+        self.prefix_cache = prefix_cache
+        self.allocator = PrefixBlockAllocator(n_blocks, block_size,
+                                              backend=allocator_backend)
         self.tables = np.full((n_slots, self.max_blocks), TRASH_BLOCK, np.int32)
         self._slot_blocks: List[List[int]] = [[] for _ in range(n_slots)]
         self.slots: List[Optional[Request]] = [None] * n_slots
@@ -195,25 +219,57 @@ class PagedBatcher(ContinuousBatcher):
             if req.cancelled:
                 continue
             plen = len(req.prompt)
-            blocks = self.allocator.alloc(plen // bs + 1)  # prompt + next write
-            if blocks is None:
+            total_needed = plen // bs + 1                  # prompt + next write
+
+            # prefix-cache probe: revive the longest run of already-resident
+            # full prompt blocks (capped so >= 1 suffix token remains — the
+            # admission step must still compute last-row logits)
+            shared: List[int] = []
+            hashes: List[int] = []
+            if self.prefix_cache:
+                hashes = chain_block_hashes(req.prompt, bs)
+                for h in hashes[:(plen - 1) // bs]:
+                    b = self.allocator.lookup(h)
+                    if b is None:
+                        break
+                    shared.append(b)
+            owned = self.allocator.alloc(total_needed - len(shared))
+            if owned is None:
                 # FIFO: wait for frees; nothing behind this request may jump it
+                if shared:
+                    self.allocator.release(shared)
                 self._stalled.appendleft(req)
                 return
+            blocks = shared + owned
+            shared_len = len(shared) * bs
             self._slot_blocks[slot] = blocks
             self.tables[slot, :] = TRASH_BLOCK
             self.tables[slot, :len(blocks)] = blocks
             # prefill length: bucket rounded up to whole blocks
-            bucket = prefill_bucket(plen, self.seq_len)
+            suffix = req.prompt[shared_len:]
+            bucket = prefill_bucket(len(suffix), self.seq_len)
             bucket = min(-(-bucket // bs) * bs, self.max_blocks * bs)
             padded = np.zeros((1, bucket), dtype=np.int32)
-            padded[0, :plen] = req.prompt
+            padded[0, :len(suffix)] = suffix
             self._set_sampling(slot, req)
-            first, lp, self.pool = _prefill_jit(
-                self.engine.model.params, self.cfg, jnp.asarray(padded),
-                plen - 1, self.pool, jnp.asarray(self.tables[slot]),
-                jnp.asarray(self._key[slot]), self._temp[slot],
-                self._topk[slot], self._topp[slot])
+            if shared:
+                first, lp, self.pool = _prefill_shared_jit(
+                    self.engine.model.params, self.cfg, jnp.asarray(padded),
+                    np.int32(shared_len), np.int32(len(suffix) - 1),
+                    self.pool, jnp.asarray(self.tables[slot]),
+                    np.int32(plen - 1), jnp.asarray(self._key[slot]),
+                    self._temp[slot], self._topk[slot], self._topp[slot])
+            else:
+                first, lp, self.pool = _prefill_jit(
+                    self.engine.model.params, self.cfg, jnp.asarray(padded),
+                    plen - 1, self.pool, jnp.asarray(self.tables[slot]),
+                    jnp.asarray(self._key[slot]), self._temp[slot],
+                    self._topk[slot], self._topp[slot])
+            if self.prefix_cache:
+                # full prompt blocks this request just filled become
+                # shareable; decode-grown blocks never do (unhashed)
+                for bi in range(len(shared), plen // bs):
+                    self.allocator.register(hashes[bi], blocks[bi])
             req.slot = slot
             self.slots[slot] = req
             self._feed[slot] = int(first)

@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     p.add_argument("--paged-blocks", type=int, default=0, metavar="N",
                    help="with --continuous: use a paged KV cache of N shared "
                         "blocks instead of dense per-slot rows")
+    p.add_argument("--no-prefix-cache", action="store_true",
+                   help="with --paged-blocks: disable automatic prefix "
+                        "caching (hash-shared prompt blocks)")
     p.add_argument("--kv-cache", choices=["bf16", "int8"], default="bf16",
                    help="KV cache dtype (int8 halves cache traffic)")
     p.add_argument("--prefill-chunk", type=int, default=0, metavar="C",
@@ -80,7 +83,8 @@ def main(argv=None) -> int:
             [PromptPart("system", args.cache_system_prompt)],
             model.vocab, model.mergeable_ranks))
     serve(engine, args.host, args.port, name, continuous_slots=args.continuous,
-          paged_blocks=args.paged_blocks)
+          paged_blocks=args.paged_blocks,
+          prefix_cache=not args.no_prefix_cache)
     return 0
 
 

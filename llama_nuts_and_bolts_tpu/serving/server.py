@@ -67,7 +67,8 @@ def apply_stop_sequences(gen, stops):
 
 class LlamaHTTPServer:
     def __init__(self, engine: InferenceEngine, model_name: str = "llama-3.1-8b-instruct",
-                 continuous_slots: int = 0, paged_blocks: int = 0):
+                 continuous_slots: int = 0, paged_blocks: int = 0,
+                 prefix_cache: bool = True):
         self.engine = engine
         self.model_name = model_name
         self._gen_lock = threading.Lock()
@@ -83,7 +84,8 @@ class LlamaHTTPServer:
                 from llama_nuts_and_bolts_tpu.runtime.paged import PagedBatcher
 
                 self.batcher = PagedBatcher(engine, n_slots=continuous_slots,
-                                            n_blocks=paged_blocks)
+                                            n_blocks=paged_blocks,
+                                            prefix_cache=prefix_cache)
             else:
                 from llama_nuts_and_bolts_tpu.runtime.continuous import (
                     ContinuousBatcher,
@@ -294,6 +296,18 @@ class LlamaHTTPServer:
                     "# TYPE llama_kv_blocks_total gauge",
                     f"llama_kv_blocks_total {b.allocator.n_blocks - 1}",
                 ]
+                s = getattr(b.allocator, "stats", None)
+                if s:
+                    lines += [
+                        "# TYPE llama_prefix_cache_lookups_total counter",
+                        f"llama_prefix_cache_lookups_total {s['prefix_lookups']}",
+                        "# TYPE llama_prefix_cache_hits_total counter",
+                        f"llama_prefix_cache_hits_total {s['prefix_hits']}",
+                        "# TYPE llama_prefix_cache_evictions_total counter",
+                        f"llama_prefix_cache_evictions_total {s['evictions']}",
+                        "# TYPE llama_prefix_cached_blocks gauge",
+                        f"llama_prefix_cached_blocks {s['cached_blocks']}",
+                    ]
         return "\n".join(lines) + "\n"
 
     def make_handler(server_self):
@@ -329,6 +343,9 @@ class LlamaHTTPServer:
                                 "blocks_free": b.allocator.available,
                                 "stalled": len(b._stalled),
                             }
+                            s = getattr(b.allocator, "stats", None)
+                            if s:
+                                info["continuous"]["paged"]["prefix_cache"] = s
                     self._json(200, info)
                 elif self.path == "/metrics":
                     body = server_self.render_metrics().encode("utf-8")
@@ -554,6 +571,7 @@ class LlamaHTTPServer:
 
 def serve(engine: InferenceEngine, host: str = "0.0.0.0", port: int = 8000,
           model_name: str = "llama-3.1-8b-instruct", continuous_slots: int = 0,
-          paged_blocks: int = 0):
+          paged_blocks: int = 0, prefix_cache: bool = True):
     LlamaHTTPServer(engine, model_name, continuous_slots=continuous_slots,
-                    paged_blocks=paged_blocks).serve_forever(host, port)
+                    paged_blocks=paged_blocks,
+                    prefix_cache=prefix_cache).serve_forever(host, port)
