@@ -166,12 +166,12 @@ class AppState:
         self.start_time_token = time.monotonic()
 
     def finish_generation(self, cancelled: bool = False) -> None:
-        # on normal completion the pending annotation was already painted by
-        # the last consume(); only a cancelled run folds it into the text
-        # (reference: cmd/main.go:161-163 vs :204-209)
-        if cancelled and self.waiting_runes_extra_str:
-            self.generated_text += spaces_after_emoji(self.waiting_runes_extra_str)
+        # fold a pending emoji annotation into the text with one final
+        # repaint (reference: cmd/main.go:204-209 post-loop flush)
+        if self.waiting_runes_extra_str:
+            # the stored extra already carries its leading spaces (consume())
             self.generated_text += self.waiting_runes_extra_str
+            self.waiting_runes_extra_str = ""
             self.update_output()
         self.waiting_runes_extra_str = ""
         self.out.write("\n")

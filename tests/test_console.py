@@ -1,7 +1,16 @@
 """Console repaint tests with an intercepted writer — the reference's
-fake-console approach (reference: cmd/main_test.go:23-34 InterceptorWriter):
-assert the exact sequence of repainted "Assistant:" and "Tokens waiting…"
-lines across iterations for emoji token streams.
+fake-console approach (reference: cmd/main_test.go:23-34 InterceptorWriter).
+
+The four transcript tests below carry the reference's golden expected lines
+VERBATIM (reference: cmd/main_test.go:148-323, TestSimulatedEmojiOutput*).
+The reference drives them through the real Llama-3 tokenizer, whose BPE
+produces the piece granularity visible in the golden "Tokens waiting" lines
+(e.g. 🇹 U+1F1F9 → pieces ``\\xF0\\x9F``, ``\\x87``, ``\\xB9``); we replay
+exactly those pieces through a synthetic vocabulary that contains them, so
+the tests run in CI without the 16 GB model while asserting the reference's
+exact console output. The reference harness compares expected[i] against
+frame i and ignores frames beyond the expected arrays
+(cmd/main_test.go:96-142); we do the same.
 """
 
 import io
@@ -12,6 +21,7 @@ from llama_nuts_and_bolts_tpu.runtime.types import TokenPiece
 
 from tests.test_streaming import ENGINE, byte_token_ids
 
+# same regexes as the reference harness (cmd/main_test.go:18-21)
 ASSISTANT_RE = re.compile(r'.*\[1mAssistant\s*\:\x1b\[0m \"(.+)\"')
 WAITING_RE = re.compile(r'.*\[1mTokens waiting to be processed further\s*\:\x1b\[0m (.+), possibly')
 
@@ -29,69 +39,256 @@ class CapturingOut(io.StringIO):
         return super().write(s)
 
 
-def drive(token_ids):
+def _drive(engine, token_ids, prompt_ids):
     out = CapturingOut()
-    app = AppState(out=out, fixed_width=80)
-    prompt_pieces, prompt_text = ENGINE.token_batch_to_string([RANKS_HI])
-    app.begin_generation(prompt_pieces, prompt_text, ENGINE.seq_len)
+    app = AppState(out=out, fixed_width=120)
+    prompt_pieces, prompt_text = engine.token_batch_to_string(prompt_ids)
+    app.begin_generation(prompt_pieces, prompt_text, engine.seq_len)
     start = len(out.frames)
-    for part in ENGINE.generate_string_from_output_tokens(token_ids):
+    for part in engine.generate_string_from_output_tokens(token_ids):
         app.consume(part)
     app.finish_generation()
     assistant, waiting = [], []
     for frame in out.frames[start:]:
+        if frame == "\n":
+            continue  # the reference harness skips bare newline writes
         a = ASSISTANT_RE.search(frame)
-        if a:
-            assistant.append(a.group(1))
-            w = WAITING_RE.search(frame)
-            waiting.append(w.group(1) if w else "")
+        w = WAITING_RE.search(frame)
+        assistant.append(a.group(1) if a else "")
+        waiting.append(w.group(1) if w else "")
     return assistant, waiting
 
 
-RANKS_HI = 256 + 3  # b"Hi" in the synthetic vocab (tests/test_streaming.py)
+# ------------------------------------------------------------------ fixtures
+# A vocabulary whose tokens reproduce the real tokenizer's piece granularity
+# observed in the reference's golden "Tokens waiting" lines.
+
+def _make_console_engine():
+    import jax
+
+    from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+    from llama_nuts_and_bolts_tpu.models.llama import init_random_params
+    from llama_nuts_and_bolts_tpu.models.llama.loader import LoadedModel
+    from llama_nuts_and_bolts_tpu.runtime import InferenceArgs, InferenceEngine
+    from llama_nuts_and_bolts_tpu.tokenizer import TiktokenModel, Vocabulary
+    from llama_nuts_and_bolts_tpu.tokenizer.tiktoken_io import build_special_tokens
+
+    ranks = {bytes([i]): i for i in range(256)}
+    extra = [b"\xF0\x9F", b"\xE2\x99", b"\xE2\x80\x8D", b"\xEF\xB8\x8F",
+             b" I", b"Hi"]
+    for i, tok in enumerate(extra):
+        ranks[tok] = 256 + i
+    special = build_special_tokens(len(ranks))
+    model = TiktokenModel(
+        mergeable_ranks=ranks, special_tokens=special,
+        bos_id=special["<|begin_of_text|>"], eos_id=special["<|end_of_text|>"],
+        stop_token_ids=[special["<|eom_id|>"], special["<|eot_id|>"]],
+    )
+    vocab = Vocabulary.from_tiktoken(model)
+    cfg = ModelArgs(dim=32, n_layers=2, n_heads=4, n_kv_heads=2,
+                    vocab_size=vocab.size, multiple_of=16, norm_eps=1e-5,
+                    max_sequence_length=64)
+    params = jax.jit(init_random_params, static_argnums=(0,))(cfg, jax.random.PRNGKey(0))
+    loaded = LoadedModel(params=params, cfg=cfg, vocab=vocab,
+                         mergeable_ranks=ranks, tensor_meta={})
+    engine = InferenceEngine(loaded, InferenceArgs(sequence_length=48))
+    return engine, ranks
 
 
-def test_turkey_flag_console_transcript():
-    """Flag assembly transcript (reference: TestSimulatedEmojiOutputTurkeyFlag
-    expected lines, adapted to our :flag_tr: alias)."""
-    ids = byte_token_ids("<0xF0><0x9F><0x87><0xB9>") + byte_token_ids("<0xF0><0x9F><0x87><0xB7>")
-    assistant, waiting = drive(ids)
-    assert assistant == [
+CONSOLE_ENGINE, CONSOLE_RANKS = _make_console_engine()
+
+
+def _ids(*pieces: bytes):
+    return [CONSOLE_RANKS[p] for p in pieces]
+
+
+def _check(token_ids, expected_assistant, expected_waiting):
+    assistant, waiting = _drive(CONSOLE_ENGINE, token_ids,
+                                prompt_ids=_ids(b"Hi"))
+    # reference semantics: compare index-wise up to the expected length;
+    # iterations beyond the expected arrays are ignored (!IGNORE).
+    assert len(assistant) >= len(expected_assistant), \
+        f"only {len(assistant)} frames for {len(expected_assistant)} expected"
+    for i, exp in enumerate(expected_assistant):
+        assert assistant[i] == exp, f"iteration {i}: {assistant[i]!r} != {exp!r}"
+    for i, exp in enumerate(expected_waiting):
+        assert waiting[i] == exp, f"iteration {i} waiting: {waiting[i]!r} != {exp!r}"
+
+
+# ----------------------------------------------- verbatim golden transcripts
+
+def test_simulated_emoji_output_turkey_flag():
+    """reference: cmd/main_test.go TestSimulatedEmojiOutputTurkeyFlag."""
+    token_ids = _ids(b"\xF0\x9F", b"\x87", b"\xB9",
+                     b"\xF0\x9F", b"\x87", b"\xB7")
+    expected_assistant = [
         "…",
         "……",
-        "…\u2026…"[0:3],  # three waiting dots
-        "\U0001F1F9 [:REGIONAL INDICATOR SYMBOL LETTER T:\\U0001F1F9]",
-        "\U0001F1F9 [:REGIONAL INDICATOR SYMBOL LETTER T:\\U0001F1F9]…",
-        "\U0001F1F9 [:REGIONAL INDICATOR SYMBOL LETTER T:\\U0001F1F9]……",
-        "\U0001F1F9 [:REGIONAL INDICATOR SYMBOL LETTER T:\\U0001F1F9]………",
-        "\U0001F1F9\U0001F1F7 [:flag_tr:\\U0001F1F9\\U0001F1F7]",
+        "🇹 [:REGIONAL INDICATOR SYMBOL LETTER T:\\U0001F1F9]",
+        "🇹 [:REGIONAL INDICATOR SYMBOL LETTER T:\\U0001F1F9]…",
+        "🇹 [:REGIONAL INDICATOR SYMBOL LETTER T:\\U0001F1F9]……",
+        "🇹🇷 [:flag_for_turkey:\\U0001F1F9\\U0001F1F7]",
+        "🇹🇷 [:flag_for_turkey:\\U0001F1F9\\U0001F1F7]",
     ]
-    assert waiting == [
-        '"<0xF0>"',
-        '"<0xF0>", "<0x9F>"',
-        '"<0xF0>", "<0x9F>", "<0x87>"',
+    expected_waiting = [
+        "\"<0xF0><0x9F>\"",
+        "\"<0xF0><0x9F>\", \"<0x87>\"",
         "",
-        '"<0xF0>"',
-        '"<0xF0>", "<0x9F>"',
-        '"<0xF0>", "<0x9F>", "<0x87>"',
+        "\"<0xF0><0x9F>\"",
+        "\"<0xF0><0x9F>\", \"<0x87>\"",
+        "",
         "",
     ]
+    _check(token_ids, expected_assistant, expected_waiting)
 
 
-def test_emoji_with_text_console_transcript():
-    """Eyes + text token (reference: TestSimulatedEmojiOutputEmojiWithText)."""
-    ids = byte_token_ids("<0xF0><0x9F><0x91><0x80>") + [RANKS_HI]
-    assistant, waiting = drive(ids)
-    assert assistant[3] == "\U0001F440 [:eyes:\\U0001F440]"
-    assert assistant[4] == "\U0001F440 [:eyes:\\U0001F440]Hi"
-    assert waiting[:4] == ['"<0xF0>"', '"<0xF0>", "<0x9F>"', '"<0xF0>", "<0x9F>", "<0x91>"', ""]
+def test_simulated_emoji_output_emoji_with_text():
+    """reference: cmd/main_test.go TestSimulatedEmojiOutputEmojiWithText."""
+    token_ids = _ids(b"\xF0\x9F", b"\x91", b"\x80", b" I")
+    expected_assistant = [
+        "…",
+        "……",
+        "👀 [:eyes:\\U0001F440]",
+        "👀 [:eyes:\\U0001F440] I",
+    ]
+    expected_waiting = [
+        "\"<0xF0><0x9F>\"",
+        "\"<0xF0><0x9F>\", \"<0x91>\"",
+        "",
+        "",
+    ]
+    _check(token_ids, expected_assistant, expected_waiting)
 
+
+def test_simulated_emoji_output_multiple_emojis():
+    """reference: cmd/main_test.go TestSimulatedEmojiOutputMultipleEmojis."""
+    token_ids = _ids(b"\xF0\x9F", b"\x9B", b"\xAC",   # 🛬
+                     b"\xF0\x9F", b"\x95", b"\xB0",   # 🕰
+                     b"\xF0\x9F", b"\x9A", b"\x82",   # 🚂
+                     b"\xF0\x9F", b"\x8C", b"\x84")   # 🌄
+    expected_assistant = [
+        "…",
+        "……",
+        "🛬 [:airplane_arrival:\\U0001F6EC]",
+        "🛬 [:airplane_arrival:\\U0001F6EC]…",
+        "🛬 [:airplane_arrival:\\U0001F6EC]……",
+        "🛬🕰  [:airplane_arrival:\\U0001F6EC][:MANTELPIECE CLOCK:\\U0001F570]",
+        "🛬🕰  [:airplane_arrival:\\U0001F6EC][:MANTELPIECE CLOCK:\\U0001F570]…",
+        "🛬🕰  [:airplane_arrival:\\U0001F6EC][:MANTELPIECE CLOCK:\\U0001F570]……",
+        "🛬🕰🚂  [:airplane_arrival:\\U0001F6EC][:MANTELPIECE CLOCK:\\U0001F570][:locomotive:\\U0001F682]",
+        "🛬🕰🚂  [:airplane_arrival:\\U0001F6EC][:MANTELPIECE CLOCK:\\U0001F570][:locomotive:\\U0001F682]…",
+        "🛬🕰🚂  [:airplane_arrival:\\U0001F6EC][:MANTELPIECE CLOCK:\\U0001F570][:locomotive:\\U0001F682]……",
+        "🛬🕰🚂🌄  [:airplane_arrival:\\U0001F6EC][:MANTELPIECE CLOCK:\\U0001F570][:locomotive:\\U0001F682][:sunrise_over_mountains:\\U0001F304]",
+    ]
+    expected_waiting = [
+        "\"<0xF0><0x9F>\"",
+        "\"<0xF0><0x9F>\", \"<0x9B>\"",
+        "",
+        "\"<0xF0><0x9F>\"",
+        "\"<0xF0><0x9F>\", \"<0x95>\"",
+        "",
+        "\"<0xF0><0x9F>\"",
+        "\"<0xF0><0x9F>\", \"<0x9A>\"",
+        "",
+        "\"<0xF0><0x9F>\"",
+        "\"<0xF0><0x9F>\", \"<0x8C>\"",
+        "",
+    ]
+    _check(token_ids, expected_assistant, expected_waiting)
+
+
+def test_simulated_emoji_output_multiple_composite_emojis():
+    """reference: cmd/main_test.go
+    TestSimulatedEmojiOutputMultipleCompositeEmojis."""
+    zwj = (b"\xE2\x80\x8D",)
+    token_ids = _ids(
+        b"\xF0\x9F", b"\xA6", b"\xB8",     # 🦸
+        *zwj,
+        b"\xE2\x99", b"\x82",              # ♂
+        b"\xEF\xB8\x8F",                   # VS16
+        b"\xF0\x9F", b"\x91", b"\xA8",     # 👨
+        *zwj,
+        b"\xF0\x9F", b"\x91", b"\xA9",     # 👩
+        *zwj,
+        b"\xF0\x9F", b"\x91", b"\xA7",     # 👧
+        *zwj,
+        b"\xF0\x9F", b"\x91", b"\xA6",     # 👦
+    )
+    expected_assistant = [
+        "…",
+        "……",
+        "🦸 [:superhero:\\U0001F9B8]",
+        "🦸‍  [:superhero:\\U0001F9B8][:ZERO WIDTH JOINER:\\U0000200D]",
+        "🦸‍  [:superhero:\\U0001F9B8][:ZERO WIDTH JOINER:\\U0000200D]…",
+        "🦸‍♂  [:superhero:\\U0001F9B8][:ZERO WIDTH JOINER:\\U0000200D][:MALE SIGN:\\U00002642]",
+        "🦸‍♂️ [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F]",
+        "🦸‍♂️ [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F]…",
+        "🦸‍♂️ [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F]……",
+        "🦸‍♂️👨  [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F][:man:\\U0001F468]",
+        "🦸‍♂️👨‍  [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F][:man:\\U0001F468][:ZERO WIDTH JOINER:\\U0000200D]",
+        "🦸‍♂️👨‍  [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F][:man:\\U0001F468][:ZERO WIDTH JOINER:\\U0000200D]…",
+        "🦸‍♂️👨‍  [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F][:man:\\U0001F468][:ZERO WIDTH JOINER:\\U0000200D]……",
+        "🦸‍♂️👨‍👩  [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F][:man:\\U0001F468][:ZERO WIDTH JOINER:\\U0000200D][:woman:\\U0001F469]",
+        "🦸‍♂️👨‍👩‍  [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F][:man:\\U0001F468][:ZERO WIDTH JOINER:\\U0000200D][:woman:\\U0001F469][:ZERO WIDTH JOINER:\\U0000200D]",
+        "🦸‍♂️👨‍👩‍  [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F][:man:\\U0001F468][:ZERO WIDTH JOINER:\\U0000200D][:woman:\\U0001F469][:ZERO WIDTH JOINER:\\U0000200D]…",
+        "🦸‍♂️👨‍👩‍  [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F][:man:\\U0001F468][:ZERO WIDTH JOINER:\\U0000200D][:woman:\\U0001F469][:ZERO WIDTH JOINER:\\U0000200D]……",
+        "🦸‍♂️👨‍👩‍👧  [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F][:family_man_woman_girl:\\U0001F468\\U0000200D\\U0001F469\\U0000200D\\U0001F467]",
+        "🦸‍♂️👨‍👩‍👧‍  [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F][:family_man_woman_girl:\\U0001F468\\U0000200D\\U0001F469\\U0000200D\\U0001F467][:ZERO WIDTH JOINER:\\U0000200D]",
+        "🦸‍♂️👨‍👩‍👧‍  [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F][:family_man_woman_girl:\\U0001F468\\U0000200D\\U0001F469\\U0000200D\\U0001F467][:ZERO WIDTH JOINER:\\U0000200D]…",
+        "🦸‍♂️👨‍👩‍👧‍  [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F][:family_man_woman_girl:\\U0001F468\\U0000200D\\U0001F469\\U0000200D\\U0001F467][:ZERO WIDTH JOINER:\\U0000200D]……",
+        "🦸‍♂️👨‍👩‍👧‍👦  [:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F][:family_man_woman_girl_boy:\\U0001F468\\U0000200D\\U0001F469\\U0000200D\\U0001F467\\U0000200D\\U0001F466]",
+    ]
+    expected_waiting = [
+        # inputSuperhero
+        "\"<0xF0><0x9F>\"",
+        "\"<0xF0><0x9F>\", \"<0xA6>\"",
+        "",
+        # inputZwj
+        "",
+        # inputMaleSign
+        "\"<0xE2><0x99>\"",
+        "",
+        # inputVariationSelector
+        "",
+        # inputPartMan
+        "\"<0xF0><0x9F>\"",
+        "\"<0xF0><0x9F>\", \"<0x91>\"",
+        "",
+        # inputZwj
+        "",
+        # inputPartWoman
+        "\"<0xF0><0x9F>\"",
+        "\"<0xF0><0x9F>\", \"<0x91>\"",
+        "",
+        # inputZwj
+        "",
+        # inputPartGirl
+        "\"<0xF0><0x9F>\"",
+        "\"<0xF0><0x9F>\", \"<0x91>\"",
+        "",
+        # inputZwj
+        "",
+        # inputPartBoy
+        "\"<0xF0><0x9F>\"",
+        "\"<0xF0><0x9F>\", \"<0x91>\"",
+        "",
+    ]
+    _check(token_ids, expected_assistant, expected_waiting)
+
+
+# ------------------------------------------------------- structural checks
 
 def test_incomplete_emoji_flushed_as_hex():
     ids = byte_token_ids("<0xF0><0x9F>")
-    assistant, _ = drive(ids)
-    # final repaint shows the flushed byte-fallback text
-    assert assistant[-1] == "<0xF0><0x9F>"
+    out = CapturingOut()
+    app = AppState(out=out, fixed_width=80)
+    app.begin_generation([], "p", ENGINE.seq_len)
+    for part in ENGINE.generate_string_from_output_tokens(ids):
+        app.consume(part)
+    app.finish_generation()
+    last = [ASSISTANT_RE.search(f).group(1)
+            for f in out.frames if ASSISTANT_RE.search(f)][-1]
+    assert last == "<0xF0><0x9F>"
 
 
 def test_spaces_after_emoji():

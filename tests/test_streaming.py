@@ -3,10 +3,10 @@ scenarios the reference drives through its fake console (reference:
 cmd/main_test.go:148-323): flag emoji built from byte fragments, emoji+text,
 multiple emojis, ZWJ composites — plus engine-level generation on a tiny model.
 
-Aliases differ from the reference's gemoji table (ours derive from Unicode
-names, e.g. ``:flag_tr:`` vs ``:flag_for_turkey:``); the waiting-bytes
-machine, annotation format, and per-rune name fallback are behaviorally
-identical.
+Aliases come from the inlined gemoji table (runtime/gemoji.py) and match
+the reference's ``enescakir/emoji`` aliases exactly (``:flag_for_turkey:``,
+``:man_superhero:``, …); segmentation is table-driven like the reference's
+``searchMinimumEmojiCount``.
 """
 
 import base64
@@ -83,14 +83,15 @@ def test_is_emoji_sequence():
     assert is_emoji_sequence("\U0001F1F9\U0001F1F7")      # flag pair
     assert is_emoji_sequence("\U0001F440")                # eyes
     assert not is_emoji_sequence("\U0001F1F9")            # lone regional
-    assert not is_emoji_sequence("\U0001F570")            # mantelpiece clock: no emoji presentation
+    assert not is_emoji_sequence("\U0001F570")            # mantelpiece clock without VS16: not a gemoji key
+    assert is_emoji_sequence("\U0001F570\uFE0F")         # with VS16 it is
     assert is_emoji_sequence("\U0001F9B8\u200d\u2642\ufe0f")  # man superhero ZWJ
     assert not is_emoji_sequence("A")
     assert not is_emoji_sequence("")
 
 
 def test_emoji_alias():
-    assert emoji_alias("\U0001F1F9\U0001F1F7") == ":flag_tr:"
+    assert emoji_alias("\U0001F1F9\U0001F1F7") == ":flag_for_turkey:"
     assert emoji_alias("\U0001F440") == ":eyes:"
     assert emoji_alias("\U0001F570") is None
     assert emoji_alias("x") is None
@@ -120,7 +121,7 @@ def test_turkey_flag_stream():
     # 8th token completes 🇷: the pair is recognized as one flag emoji
     assert parts[7].decoded_string == "\U0001F1F7"
     assert parts[7].waiting_runes_extra_str == \
-        "[:flag_tr:\\U0001F1F9\\U0001F1F7]"
+        "[:flag_for_turkey:\\U0001F1F9\\U0001F1F7]"
 
 
 def test_emoji_then_text_stream():
@@ -141,9 +142,9 @@ def test_multiple_emojis_stream():
     ids = (byte_token_ids("<0xF0><0x9F><0x9B><0xAC>")     # 🛬 airplane arriving
            + byte_token_ids("<0xF0><0x9F><0x95><0xB0>"))  # 🕰 mantelpiece clock
     parts = replay(ENGINE, ids)
-    assert parts[3].waiting_runes_extra_str == "[:airplane_arriving:\\U0001F6EC]"
+    assert parts[3].waiting_runes_extra_str == "[:airplane_arrival:\\U0001F6EC]"
     assert parts[7].waiting_runes_extra_str == (
-        "[:airplane_arriving:\\U0001F6EC]"
+        "[:airplane_arrival:\\U0001F6EC]"
         "[:MANTELPIECE CLOCK:\\U0001F570]"
     )
 
@@ -162,7 +163,7 @@ def test_zwj_composite_stream():
     parts = replay(ENGINE, ids)
     final = parts[-1]
     assert final.waiting_runes_extra_str == \
-        "[:superhero_male_sign:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F]"
+        "[:man_superhero:\\U0001F9B8\\U0000200D\\U00002642\\U0000FE0F]"
 
 
 def test_incomplete_bytes_flushed_at_end():
