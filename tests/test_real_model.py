@@ -51,3 +51,122 @@ def test_layer0_golden_continuation(layer0_model):
         out.append(tok)
         pos += 1
     assert out == GOLDEN_LAYER0_CONTINUATION
+
+
+# ---------------------------------------------------------------------------
+# Per-stage layer-0 golden tensors (reference:
+# src/model/llamatransformer_simulated_test.go:20-1310): every intermediate
+# of layer 0 on the golden chat prompt is asserted against values frozen from
+# Meta's PyTorch implementation, at the reference's tolerance bands
+# (src/common/utils.go:13-17 with the simulated test's per-stage multipliers).
+# A divergence is thereby localized to one stage, not just "logits differ".
+
+from llama_nuts_and_bolts_tpu.models.llama.model import attention_mask
+from llama_nuts_and_bolts_tpu.models.llama.rope import apply_rope
+from llama_nuts_and_bolts_tpu.ops import linear, rms_norm, swiglu
+from llama_nuts_and_bolts_tpu.utils.testing import compare_tensor
+
+from tests.golden_layer0 import GOLDEN, NEG_INF, NEXT_TOKEN, THRESHOLDS
+
+
+def _check(stage: str, actual) -> None:
+    spec = GOLDEN[stage]
+    actual = np.asarray(actual, dtype=np.float64)
+    assert list(actual.shape) == spec["size"], (
+        f"{stage}: shape {actual.shape} != {spec['size']}")
+    expected = np.asarray(spec["values"], dtype=np.float64)
+    # the Go goldens encode -Inf as the NEG_INF sentinel
+    actual = np.where(np.isneginf(actual), NEG_INF, actual)
+    try:
+        compare_tensor(actual, expected, dtype="float32",
+                       tolerance_multiplier=(
+                           THRESHOLDS[spec["base"]] / 1e-3) * spec["mult"],
+                       shortened=spec["shortened"])
+    except AssertionError as exc:
+        raise AssertionError(f"layer-0 stage {stage!r} diverges: {exc}") from exc
+
+
+def test_layer0_per_stage_golden_tensors(layer0_model):
+    params, cfg = layer0_model
+    eps = cfg.norm_eps
+    S, H, KV, D = len(GOLDEN_PROMPT_IDS), cfg.n_heads, cfg.kv_heads, cfg.head_dim
+    w = {k: v[0] for k, v in params.layers.items()}    # layer 0 slices
+
+    tokens = jnp.asarray(GOLDEN_PROMPT_IDS, dtype=jnp.int32)
+    x = jnp.take(params.tok_embeddings, tokens, axis=0)          # [S,dim] bf16
+    _check("input_tensor", x)
+
+    mask = attention_mask(S, S, 0)
+    _check("mask", mask)
+
+    xf = x.astype(jnp.float32)
+    part = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    _check("attn_norm_part", part.astype(jnp.bfloat16))
+
+    normed = rms_norm(x, w["attn_norm"], eps)
+    _check("attn_normalized_x", normed)
+
+    xq = linear(normed, w["wq"])
+    xk = linear(normed, w["wk"])
+    xv = linear(normed, w["wv"])
+    _check("xq", xq), _check("xk", xk), _check("xv", xv)
+
+    xq = xq.reshape(S, H, D)
+    xk = xk.reshape(S, KV, D)
+    xv = xv.reshape(S, KV, D)
+    _check("xq_rs", xq), _check("xk_rs", xk), _check("xv_rs", xv)
+
+    cos = params.rope_cos[:S]
+    sin = params.rope_sin[:S]
+    xq = apply_rope(xq[None], cos, sin)[0]
+    xk = apply_rope(xk[None], cos, sin)[0]
+    _check("xq_rotary", xq), _check("xk_rotary", xk)
+
+    # the reference materializes repeat-KV (llamatransformer.go:529-559); we
+    # never do in the model — the expansion here is only to compare values
+    keys = jnp.repeat(xk, H // KV, axis=1)                        # [S,H,D]
+    values = jnp.repeat(xv, H // KV, axis=1)
+    _check("keys_rep", keys), _check("values_rep", values)
+
+    qt = xq.transpose(1, 0, 2)                                    # [H,S,D]
+    kt = keys.transpose(1, 0, 2)
+    vt = values.transpose(1, 0, 2)
+    kt2 = kt.transpose(0, 2, 1)                                   # [H,D,S]
+    _check("xq_transpose", qt)
+    _check("keys_transpose_dims0_1", kt)
+    _check("values_transpose", vt)
+    _check("keys_transpose_dims1_2", kt2)
+
+    scores = jnp.einsum("hsd,hdt->hst", qt, kt2,
+                        preferred_element_type=jnp.float32)
+    scores = (scores / jnp.sqrt(float(D))).astype(jnp.bfloat16)
+    _check("scores", scores)
+
+    scores = (scores.astype(jnp.float32) + mask).astype(jnp.bfloat16)
+    _check("scores_plus_mask", scores)
+
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    probs = probs.astype(jnp.bfloat16)
+    _check("scores_softmax", probs)
+
+    att = jnp.einsum("hst,htd->hsd", probs, vt,
+                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    att = att.transpose(1, 0, 2).reshape(S, H * D)
+    _check("output_before_weights", att)
+
+    att_out = linear(att, w["wo"])
+    _check("output_after_weights", att_out)
+
+    h = x + att_out
+    _check("h_before_feedforward", h)
+
+    out = h + swiglu(rms_norm(h, w["ffn_norm"], eps),
+                     w["w_gate"], w["w_up"], w["w_down"])
+    _check("block_output", out)
+
+    # full layer-0 forward through the production path: logits parity
+    cache = KVCache.create(cfg, 1, 32)
+    logits, _ = forward(params, cfg, tokens[None], 0, cache)
+    _check("logits", logits[0])
+    _check("logits_last_row", logits[:, -1])
+    assert int(np.asarray(logits)[0, -1].argmax()) == NEXT_TOKEN
