@@ -36,7 +36,7 @@ from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
 V5E_HBM_BYTES_PER_S = 819e9  # public v5e HBM bandwidth
 SEQ_CAP = 200                # the reference CLI's sequence length
 PREFILL_LEN = 16
-DECODE_STEPS = 128
+DECODE_STEPS = 180   # with PREFILL_LEN 16: 16 + 180 + pad < SEQ_CAP 200
 
 
 def param_bytes(cfg: ModelArgs) -> int:
@@ -110,6 +110,13 @@ def _deadline(_sig, _frm):
 def main() -> None:
     global BENCH_T0
     BENCH_T0 = time.perf_counter()
+    # did enable_persistent_cache find earlier executables on disk? if yes,
+    # ttft_cold_s below is a process-cold / compile-cache-warm number
+    cache_dir = jax.config.jax_compilation_cache_dir
+    try:
+        cache_warm = bool(cache_dir) and bool(os.listdir(cache_dir))
+    except OSError:
+        cache_warm = False
     signal.signal(signal.SIGALRM, _deadline)
     signal.alarm(520)
     n_layers = pick_layer_count(device_budget())
@@ -119,7 +126,11 @@ def main() -> None:
         norm_eps=1e-5, rope_theta=500000.0, use_scaled_rope=True,
         max_sequence_length=2048,
     )
-    params = jax.jit(init_random_params, static_argnums=(0,))(cfg, jax.random.PRNGKey(0))
+    # decode-optimized fused layout: qkv / gate+up fused, [in,out] weights
+    # (models/llama/model.py fuse_decode_params; +~3.5% HBM streaming
+    # measured on this chip — docs/07-PERFORMANCE.md)
+    params = jax.jit(init_random_params, static_argnums=(0, 2, 3))(
+        cfg, jax.random.PRNGKey(0), jnp.bfloat16, True)
     sync(params)
 
     fwd = jax.jit(forward, static_argnums=(1,), donate_argnums=(4,))
@@ -149,21 +160,31 @@ def main() -> None:
     ttft_cold = time.perf_counter() - t0
     toks, cache = decode_jit(params, cache, tok, PREFILL_LEN)
     sync(toks)
+    del cache
 
-    # measured run: fresh cache, timed prefill (warm) + timed decode scan
+    # measured run: fresh cache, timed prefill (warm) + timed decode scans.
+    # TWO independent scan calls per timing: the second dispatch pipelines
+    # behind the first scan's execution, so the ~25 ms tunnel dispatch+sync
+    # overhead amortizes over 2*DECODE_STEPS tokens instead of one scan's.
     cache = KVCache.create(cfg, 1, SEQ_CAP)
     t0 = time.perf_counter()
     logits, cache = fwd(params, cfg, prompt, 0, cache)
     tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
     sync(tok)
     ttft = time.perf_counter() - t0
+    N_SCANS = 4
+    extra = [(KVCache.create(cfg, 1, SEQ_CAP), jnp.ones((1, 1), jnp.int32))
+             for _ in range(N_SCANS - 1)]
+    sync(extra[-1][0])
 
     t0 = time.perf_counter()
     toks, cache = decode_jit(params, cache, tok, PREFILL_LEN)
-    sync(toks)
+    for c_i, t_i in extra:
+        toks, _ = decode_jit(params, c_i, t_i, PREFILL_LEN)
+    sync(toks)   # program order: earlier scans completed before the last
     decode_time = time.perf_counter() - t0
 
-    toks_per_s = DECODE_STEPS / decode_time
+    toks_per_s = N_SCANS * DECODE_STEPS / decode_time
     roofline_main = V5E_HBM_BYTES_PER_S / param_bytes(cfg)
     RESULTS.update({
         "metric": f"decode_tokens_per_sec_per_chip_llama31-{n_layers}L_bf16_b1",
@@ -172,6 +193,7 @@ def main() -> None:
         "detail": {
             "p50_ttft_warm_s": round(ttft, 4),
             "ttft_cold_s": round(ttft_cold, 2),
+            "ttft_cold_compile_cache_warm": cache_warm,
             "param_bytes": param_bytes(cfg),
             "roofline_tokens_per_s": round(roofline_main, 2),
             "device": str(jax.devices()[0]),
@@ -238,18 +260,39 @@ def main() -> None:
                     body, (tok, start_pos, cache), None, length=DECODE_STEPS)
                 return toks, cache
 
-            d8k = jax.jit(decode_8k, donate_argnums=(1,))
-            kcache = KVCache.create(cfg_8k, 1, 8192)
+            def decode_8k_flash(params, cache, tok, start_pos):
+                def body(carry, _):
+                    tok, pos, cache = carry
+                    logits, cache = forward(params, cfg_8k, tok, pos, cache,
+                                            attn_impl="flash")
+                    nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                    return (nxt, pos + 1, cache), nxt[:, 0]
+
+                (tok, pos, cache), toks = lax.scan(
+                    body, (tok, start_pos, cache), None, length=DECODE_STEPS)
+                return toks, cache
+
             kt = jnp.ones((1, 1), jnp.int32)
-            toks_k, kcache = d8k(params8k, kcache, kt, 8192 - DECODE_STEPS - 2)
-            sync(toks_k)  # compile
-            kcache = KVCache.create(cfg_8k, 1, 8192)
-            t0 = time.perf_counter()
-            toks_k, kcache = d8k(params8k, kcache, kt, 8192 - DECODE_STEPS - 2)
-            sync(toks_k)
-            RESULTS["detail"]["decode_8k_context_tokens_per_s"] = round(
-                DECODE_STEPS / (time.perf_counter() - t0), 2)
-            del params8k, kcache
+            # measure BOTH the XLA einsum path and the fused Pallas
+            # flash-decode kernel at a nearly-full 8K cache; report the
+            # better one (and both, for the record)
+            both = {}
+            for name, fn in (("xla", decode_8k), ("flash", decode_8k_flash)):
+                djit = jax.jit(fn, donate_argnums=(1,))
+                kcache = KVCache.create(cfg_8k, 1, 8192)
+                toks_k, kcache = djit(params8k, kcache, kt, 8192 - DECODE_STEPS - 2)
+                sync(toks_k)  # compile
+                del kcache
+                kcache = KVCache.create(cfg_8k, 1, 8192)
+                t0 = time.perf_counter()
+                toks_k, kcache = djit(params8k, kcache, kt, 8192 - DECODE_STEPS - 2)
+                sync(toks_k)
+                both[name] = round(DECODE_STEPS / (time.perf_counter() - t0), 2)
+                del kcache
+            RESULTS["detail"]["decode_8k_context_tokens_per_s"] = max(both.values())
+            RESULTS["detail"]["decode_8k_xla_tokens_per_s"] = both["xla"]
+            RESULTS["detail"]["decode_8k_flash_tokens_per_s"] = both["flash"]
+            del params8k
         except Exception as exc:
             _note('8k_context', exc)
 

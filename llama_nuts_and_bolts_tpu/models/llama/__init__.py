@@ -2,6 +2,7 @@ from llama_nuts_and_bolts_tpu.models.llama.rope import precompute_rope_tables, a
 from llama_nuts_and_bolts_tpu.models.llama.model import (
     LlamaParams,
     forward,
+    fuse_decode_params,
     init_random_params,
 )
 from llama_nuts_and_bolts_tpu.models.llama.loader import (

@@ -108,6 +108,7 @@ def build_params_from_checkpoint(
     sharding_fn: Optional[ShardingFn] = None,
     dtype=jnp.bfloat16,
     quant: Optional[str] = None,
+    fused: bool = False,
 ) -> LlamaParams:
     """Stack per-layer host views to [L, ...] and ship to device.
 
@@ -120,6 +121,11 @@ def build_params_from_checkpoint(
     """
     if quant not in (None, "int8", "int4"):
         raise ValueError(f"unsupported quant mode {quant!r}")
+    if fused and (quant is not None or sharding_fn is not None):
+        raise ValueError(
+            "fused decode layout is for plain single-replica bf16 weights "
+            "(quantized layouts keep their own packing; tensor-parallel "
+            "keeps split weights for the Megatron column/row specs)")
     validate_checkpoint(tensors, cfg)
     log = get_logger()
 
@@ -151,12 +157,42 @@ def build_params_from_checkpoint(
         return put(key, host)
 
     layers: Dict[str, jnp.ndarray] = {}
-    for key, tmpl in CKPT_LAYER_NAMES.items():
-        views = [tensors[tmpl.format(i=i)].array for i in range(cfg.n_layers)]
-        host = np.stack(views)  # one host copy of this weight group only
-        layers[key] = put_weight(key, host)
-        del host
-        log.debug("loaded weight group %s", key)
+    if fused:
+        # decode-optimized layout assembled HOST-side straight from the
+        # memmap views — no device-side transient duplicate (model.py
+        # fuse_decode_params documents the layout and the measured win)
+        def layer_view(key, i):
+            return tensors[CKPT_LAYER_NAMES[key].format(i=i)].array
+
+        def fused_group(out_key, part_keys):
+            parts0 = [layer_view(k, 0) for k in part_keys]
+            d_in = parts0[0].shape[1]
+            d_out = sum(p.shape[0] for p in parts0)
+            host = np.empty((cfg.n_layers, d_in, d_out), dtype=parts0[0].dtype)
+            for i in range(cfg.n_layers):
+                off = 0
+                for k in part_keys:
+                    v = layer_view(k, i)
+                    host[i, :, off:off + v.shape[0]] = v.T
+                    off += v.shape[0]
+            layers[out_key] = put(out_key, host)
+            del host
+            log.debug("loaded fused weight group %s", out_key)
+
+        for key in ("attn_norm", "ffn_norm"):
+            layers[key] = put(key, np.stack(
+                [layer_view(key, i) for i in range(cfg.n_layers)]))
+        fused_group("wqkv", ("wq", "wk", "wv"))
+        fused_group("wo", ("wo",))
+        fused_group("w_gate_up", ("w_gate", "w_up"))
+        fused_group("w_down", ("w_down",))
+    else:
+        for key, tmpl in CKPT_LAYER_NAMES.items():
+            views = [tensors[tmpl.format(i=i)].array for i in range(cfg.n_layers)]
+            host = np.stack(views)  # one host copy of this weight group only
+            layers[key] = put_weight(key, host)
+            del host
+            log.debug("loaded weight group %s", key)
 
     cos, sin = precompute_rope_tables(
         cfg.head_dim, 2 * cfg.max_sequence_length, cfg.rope_theta, cfg.use_scaled_rope
@@ -165,6 +201,8 @@ def build_params_from_checkpoint(
     # tied output head (Llama-3.2 1B/3B): reuse the embedding matrix — same
     # host bytes, quantized/sharded through the regular output path
     out_host = tensors.get("output.weight", tensors["tok_embeddings.weight"]).array
+    if fused:
+        out_host = np.ascontiguousarray(out_host.T)   # head stored [dim, vocab]
     return LlamaParams(
         tok_embeddings=put("tok_embeddings", tensors["tok_embeddings.weight"].array),
         layers=layers,

@@ -31,7 +31,13 @@ from jax import lax
 
 from llama_nuts_and_bolts_tpu.io.params import ModelArgs
 from llama_nuts_and_bolts_tpu.models.llama.rope import apply_rope, precompute_rope_tables
-from llama_nuts_and_bolts_tpu.ops import gqa_attention, linear, rms_norm, swiglu
+from llama_nuts_and_bolts_tpu.ops import (
+    gqa_attention,
+    linear,
+    linear_t,
+    rms_norm,
+    swiglu,
+)
 
 
 @struct.dataclass
@@ -196,15 +202,25 @@ def forward(
         return lax.dynamic_update_slice(c, rows.astype(c.dtype),
                                         (0, 0, p) + pad)
 
+    # decode-optimized fused layout (fuse_decode_params): qkv and gate+up are
+    # single [in, out] matmuls — fewer, longer HBM streams per block
+    fused = "wqkv" in params.layers
+
     def block(x, scanned):
         if quantized:
             w, ck, cv, cks, cvs = scanned                         # ck/cv int8
         else:
             w, ck, cv = scanned                                   # ck/cv [B,KV,T,D]
         h = rms_norm(x, w["attn_norm"], cfg.norm_eps)
-        q = linear(h, w["wq"]).reshape(B, S, H, D)
-        k = linear(h, w["wk"]).reshape(B, S, KV, D)
-        v = linear(h, w["wv"]).reshape(B, S, KV, D)
+        if fused:
+            qkv = linear_t(h, w["wqkv"])
+            q = qkv[..., : H * D].reshape(B, S, H, D)
+            k = qkv[..., H * D:(H + KV) * D].reshape(B, S, KV, D)
+            v = qkv[..., (H + KV) * D:].reshape(B, S, KV, D)
+        else:
+            q = linear(h, w["wq"]).reshape(B, S, H, D)
+            k = linear(h, w["wk"]).reshape(B, S, KV, D)
+            v = linear(h, w["wv"]).reshape(B, S, KV, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin).transpose(0, 2, 1, 3)         # [B,KV,S,D]
         v = v.transpose(0, 2, 1, 3)
@@ -220,9 +236,18 @@ def forward(
             cv = write(cv, v, start_pos)
             att = attend(q, ck, cv)
             out_carry = (ck, cv)
-        x = x + linear(att.reshape(B, S, H * D), w["wo"])
-        h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
-        x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
+        if fused:
+            x = x + linear_t(att.reshape(B, S, H * D), w["wo"])
+            h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
+            gu = linear_t(h2, w["w_gate_up"])
+            F = cfg.ffn_hidden_dim
+            gate, up = gu[..., :F], gu[..., F:]
+            act = jax.nn.silu(gate.astype(jnp.float32)).astype(gu.dtype) * up
+            x = x + linear_t(act, w["w_down"])
+        else:
+            x = x + linear(att.reshape(B, S, H * D), w["wo"])
+            h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
+            x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
         return x, out_carry
 
     if quantized:
@@ -235,7 +260,10 @@ def forward(
     if logits_at is not None:
         x = lax.dynamic_slice_in_dim(x, logits_at, 1, axis=1)     # [B,1,dim]
     x = rms_norm(x, params.norm, cfg.norm_eps)
-    logits = linear(x, params.output, out_dtype=jnp.float32)      # [B,S|1,vocab]
+    if fused:   # fused layout also transposes the head to [dim, vocab]
+        logits = linear_t(x, params.output, out_dtype=jnp.float32)
+    else:
+        logits = linear(x, params.output, out_dtype=jnp.float32)  # [B,S|1,vocab]
     return logits, new_cache
 
 
@@ -258,9 +286,59 @@ def layer_weight_shapes(cfg: ModelArgs) -> Dict[str, Tuple[int, ...]]:
     }
 
 
+def fused_layer_weight_shapes(cfg: ModelArgs) -> Dict[str, Tuple[int, ...]]:
+    """Decode-optimized fused layout: qkv and gate+up concatenated along the
+    OUT dim, every matmul weight stored TRANSPOSED ``[in, out]``. Measured on
+    v5e b=1 decode: fusing + transposing streams ~3.5% more HBM bandwidth
+    than the checkpoint layout (docs/07-PERFORMANCE.md §roofline)."""
+    d, f = cfg.dim, cfg.ffn_hidden_dim
+    qkv_out = (cfg.n_heads + 2 * cfg.kv_heads) * cfg.head_dim
+    return {
+        "attn_norm": (d,),
+        "ffn_norm": (d,),
+        "wqkv": (d, qkv_out),
+        "wo": (cfg.n_heads * cfg.head_dim, d),
+        "w_gate_up": (d, 2 * f),
+        "w_down": (f, d),
+    }
+
+
+def fuse_decode_params(params: LlamaParams) -> LlamaParams:
+    """Repack canonical checkpoint-layout params into the fused decode layout
+    (see fused_layer_weight_shapes). Device-side transform: suitable for
+    models that leave transient headroom (the loader fuses HOST-side for big
+    checkpoints). Quantized or already-fused params are rejected."""
+    lw = params.layers
+    if "wqkv" in lw:
+        return params
+    if any(hasattr(w, "q") or hasattr(w, "packed") or hasattr(w, "w4")
+           for w in lw.values()):
+        raise ValueError("fuse_decode_params supports plain (bf16) weights only")
+    t = lambda a: jnp.swapaxes(a, 1, 2)
+    layers = {
+        "attn_norm": lw["attn_norm"],
+        "ffn_norm": lw["ffn_norm"],
+        "wqkv": t(jnp.concatenate([lw["wq"], lw["wk"], lw["wv"]], axis=1)),
+        "wo": t(lw["wo"]),
+        "w_gate_up": t(jnp.concatenate([lw["w_gate"], lw["w_up"]], axis=1)),
+        "w_down": t(lw["w_down"]),
+    }
+    return LlamaParams(
+        tok_embeddings=params.tok_embeddings,
+        layers=layers,
+        norm=params.norm,
+        output=params.output.T,
+        rope_cos=params.rope_cos,
+        rope_sin=params.rope_sin,
+    )
+
+
 def init_random_params(cfg: ModelArgs, key: jax.Array,
-                       dtype=jnp.bfloat16) -> LlamaParams:
-    """Random-initialized params with the checkpoint's shapes (tests/bench)."""
+                       dtype=jnp.bfloat16, fused: bool = False) -> LlamaParams:
+    """Random-initialized params with the checkpoint's shapes (tests/bench).
+    ``fused=True`` generates the decode-optimized fused layout directly —
+    no transient duplicate on device (a 24-layer 8B-architecture stack plus
+    its fused copy would not fit one 16 GB chip)."""
     keys = iter(jax.random.split(key, 16))
     scale = 1.0 / math.sqrt(cfg.dim)
 
@@ -268,8 +346,9 @@ def init_random_params(cfg: ModelArgs, key: jax.Array,
         return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(dtype)
 
     L = cfg.n_layers
+    shapes = fused_layer_weight_shapes(cfg) if fused else layer_weight_shapes(cfg)
     layers = {}
-    for name, shape in layer_weight_shapes(cfg).items():
+    for name, shape in shapes.items():
         if name.endswith("norm"):
             layers[name] = jnp.ones((L,) + shape, dtype)
         else:
@@ -277,11 +356,13 @@ def init_random_params(cfg: ModelArgs, key: jax.Array,
     cos, sin = precompute_rope_tables(
         cfg.head_dim, 2 * cfg.max_sequence_length, cfg.rope_theta, cfg.use_scaled_rope
     )
+    out_shape = ((cfg.dim, cfg.vocab_size) if fused
+                 else (cfg.vocab_size, cfg.dim))
     return LlamaParams(
         tok_embeddings=rand((cfg.vocab_size, cfg.dim)),
         layers=layers,
         norm=jnp.ones((cfg.dim,), dtype),
-        output=rand((cfg.vocab_size, cfg.dim)),
+        output=rand(out_shape),
         rope_cos=jnp.asarray(cos),
         rope_sin=jnp.asarray(sin),
     )

@@ -1,4 +1,4 @@
-from llama_nuts_and_bolts_tpu.ops.linear import linear
+from llama_nuts_and_bolts_tpu.ops.linear import linear, linear_t
 from llama_nuts_and_bolts_tpu.ops.rmsnorm import rms_norm
 from llama_nuts_and_bolts_tpu.ops.attention import gqa_attention
 from llama_nuts_and_bolts_tpu.ops.swiglu import swiglu

@@ -107,3 +107,21 @@ def _linear_q4(x: jnp.ndarray, w, out_dtype) -> jnp.ndarray:
             preferred_element_type=jnp.float32,
         )
     return out.astype(out_dtype if out_dtype is not None else x.dtype)
+
+
+def linear_t(x: jnp.ndarray, w: jnp.ndarray,
+             out_dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
+    """``x @ w`` for ``x[..., in]`` and TRANSPOSED-layout ``w[in, out]``.
+
+    The decode-optimized fused weight layout (models/llama/model.py
+    ``fuse_decode_params``) stores matmul weights as ``[in, out]``: measured
+    on v5e, b=1 decode matvecs stream ~1% more HBM bandwidth in this
+    orientation, and fusing qkv / gate+up into single matmuls adds ~1.5%
+    more (docs/07-PERFORMANCE.md). Same fp32 accumulation as :func:`linear`.
+    """
+    out = lax.dot_general(
+        x, w,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(out_dtype if out_dtype is not None else x.dtype)

@@ -306,3 +306,66 @@ def test_tied_embeddings_checkpoint_loads(tiny_model):
 def test_model_type_covers_llama32():
     assert ModelArgs(n_layers=16).model_type == "Llama-3.2-1B"
     assert ModelArgs(n_layers=28).model_type == "Llama-3.2-3B"
+
+
+def test_fused_decode_layout_matches_canonical():
+    """The decode-optimized fused layout (wqkv + w_gate_up, [in,out] weights,
+    transposed head) must reproduce the canonical forward exactly up to
+    matmul-order ULPs: same argmax tokens, logits within bf16 tolerance."""
+    from llama_nuts_and_bolts_tpu.models.llama import fuse_decode_params
+
+    params = jax.jit(init_random_params, static_argnums=(0,))(TINY, jax.random.PRNGKey(11))
+    fparams = fuse_decode_params(params)
+    assert "wqkv" in fparams.layers and "wq" not in fparams.layers
+
+    # exact-math check: with fp32 weights the two layouts are the same
+    # computation and must agree to float noise
+    p32 = init_random_params(TINY, jax.random.PRNGKey(11), dtype=jnp.float32)
+    f32p = fuse_decode_params(p32)
+    tokens = jnp.asarray([[3, 1, 4, 1, 5]], dtype=jnp.int32)
+    a32, c32a = forward(p32, TINY, tokens, 0, KVCache.create(TINY, 1, 16, dtype=jnp.float32))
+    b32, c32b = forward(f32p, TINY, tokens, 0, KVCache.create(TINY, 1, 16, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(a32), np.asarray(b32), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c32a.k), np.asarray(c32b.k), atol=1e-5)
+
+    # bf16 path: matmul-order rounding drifts a few ULPs per layer; the
+    # parity bar is the greedy tokens plus loose logit tolerance
+    ref_logits, ref_cache = forward(params, TINY, tokens, 0, KVCache.create(TINY, 1, 16))
+    got_logits, got_cache = forward(fparams, TINY, tokens, 0, KVCache.create(TINY, 1, 16))
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               atol=5e-2, rtol=5e-2)
+    np.testing.assert_array_equal(np.asarray(got_logits).argmax(-1),
+                                  np.asarray(ref_logits).argmax(-1))
+
+
+    # decode step parity on the produced caches
+    step = jnp.asarray([[7]], dtype=jnp.int32)
+    ref2, _ = forward(params, TINY, step, 5, ref_cache)
+    got2, _ = forward(fparams, TINY, step, 5, got_cache)
+    np.testing.assert_array_equal(np.asarray(got2).argmax(-1),
+                                  np.asarray(ref2).argmax(-1))
+
+    # random init can generate the fused layout directly
+    direct = init_random_params(TINY, jax.random.PRNGKey(11), fused=True)
+    assert direct.layers["wqkv"].shape == fparams.layers["wqkv"].shape
+    assert direct.output.shape == (TINY.dim, TINY.vocab_size)
+
+
+def test_loader_fused_matches_device_fused(tiny_model):
+    """Host-side fused assembly (loader fused=True) must equal the
+    device-side fuse_decode_params transform of the canonical load."""
+    from llama_nuts_and_bolts_tpu.models.llama import fuse_decode_params
+
+    weights, params = tiny_model
+    loaded = build_params_from_checkpoint(to_host_tensors(weights), TINY, fused=True)
+    fused = fuse_decode_params(params)
+    for k in fused.layers:
+        np.testing.assert_array_equal(
+            np.asarray(loaded.layers[k], np.float32),
+            np.asarray(fused.layers[k], np.float32), err_msg=k)
+    np.testing.assert_array_equal(np.asarray(loaded.output, np.float32),
+                                  np.asarray(fused.output, np.float32))
+
+    with pytest.raises(ValueError):
+        build_params_from_checkpoint(to_host_tensors(weights), TINY,
+                                     fused=True, quant="int8")
