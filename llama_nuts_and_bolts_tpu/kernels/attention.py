@@ -91,9 +91,13 @@ def flash_gqa_attention(
     scale: float | None = None,
     block_q: int = 32,
     block_k: int = 128,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Returns [B, S, H, D] in q.dtype. Causal+cache mask built in."""
+    if interpret is None:
+        # compiled on TPU, interpreter on CPU (CPU-mesh tests)
+        interpret = jax.devices()[0].platform == "cpu"
+
     B, S, H, D = q.shape
     _, KV, T, _ = k.shape
     G = H // KV

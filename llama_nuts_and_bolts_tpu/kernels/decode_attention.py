@@ -97,10 +97,14 @@ def flash_decode_attention(
     v_scale=None,
     scale: float | None = None,
     block_k: int = 512,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Returns [B, 1, H, D] in q.dtype. The query attends slots ≤ start_pos
     (which includes its own just-written row)."""
+    if interpret is None:
+        # compiled on TPU, interpreter on CPU (CPU-mesh tests)
+        interpret = jax.devices()[0].platform == "cpu"
+
     B, S, H, D = q.shape
     if S != 1:
         raise ValueError("flash_decode_attention is the S=1 kernel")

@@ -130,6 +130,7 @@ def forward(
     cache: KVCache,
     attn_impl: str = "xla",   # "xla" | "flash" (Pallas fused kernel)
     logits_at=None,           # traced row index: project only this position
+    mesh=None,                # jax.sharding.Mesh: flash kernels via shard_map
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One forward pass (prefill when S>1, decode step when S==1).
 
@@ -168,6 +169,20 @@ def forward(
     def attend(q, ck, cv, cks=None, cvs=None):
         if attn_impl == "flash":
             block_k = next((b for b in (512, 256, 128) if T % b == 0), T)
+            if mesh is not None:
+                # GSPMD cannot partition pallas_call: on a tp mesh the kernel
+                # runs head-local inside shard_map (parallel/kernel_shard.py)
+                from llama_nuts_and_bolts_tpu.parallel.kernel_shard import (
+                    tp_flash_decode_attention,
+                    tp_flash_gqa_attention,
+                )
+
+                if S == 1:
+                    return tp_flash_decode_attention(
+                        mesh, q, ck, cv, start_pos, k_scale=cks, v_scale=cvs,
+                        block_k=block_k)
+                return tp_flash_gqa_attention(mesh, q, ck, cv, start_pos,
+                                              block_k=block_k)
             if S == 1:
                 from llama_nuts_and_bolts_tpu.kernels.decode_attention import (
                     flash_decode_attention,

@@ -57,9 +57,14 @@ def prefill_bucket(prompt_len: int, cap: int) -> int:
 
 class InferenceEngine:
     def __init__(self, model: LoadedModel, args: Optional[InferenceArgs] = None,
-                 log_fn=None, draft_model: Optional[LoadedModel] = None) -> None:
+                 log_fn=None, draft_model: Optional[LoadedModel] = None,
+                 mesh=None) -> None:
         self.model = model
         self.args = args or InferenceArgs()
+        # active device mesh (tensor parallelism): the Pallas kernel paths
+        # must run through shard_map on it (parallel/kernel_shard.py), so the
+        # perf path and the parallel path stay the SAME path
+        self.mesh = mesh
         # optional smaller Llama used as the speculation proposer (two-model
         # speculative decoding); None falls back to n-gram prompt lookup
         if (draft_model is not None
@@ -73,7 +78,8 @@ class InferenceEngine:
         self.log = log_fn or (lambda fmt, *a: get_logger().debug(fmt, *a))
         # one executable per (batch, seqlen-bucket); decode step is S=1
         self._fwd = jax.jit(forward, static_argnums=(1,),
-                            static_argnames=("attn_impl",), donate_argnums=(4,))
+                            static_argnames=("attn_impl", "mesh"),
+                            donate_argnums=(4,))
         self._rng = jax.random.PRNGKey(self.args.seed)
         # prefix cache: token-tuple -> KVCache snapshot (see cache_prefix)
         self._prefix_cache: Dict[tuple, KVCache] = {}
@@ -180,7 +186,7 @@ class InferenceEngine:
                 _, cache = self._fwd(self.model.params, self.model.cfg,
                                      jnp.asarray(piece), start_pos + done,
                                      cache, attn_impl=self._attn_impl(chunk),
-                                     logits_at=chunk - 1)
+                                     logits_at=chunk - 1, mesh=self.mesh)
                 done += chunk
             tokens = tokens[done:]
             start_pos += done
@@ -194,7 +200,7 @@ class InferenceEngine:
         padded[0, :n] = tokens
         return self._fwd(self.model.params, self.model.cfg, jnp.asarray(padded),
                          start_pos, cache, attn_impl=self._attn_impl(bucket),
-                         logits_at=n - 1)
+                         logits_at=n - 1, mesh=self.mesh)
 
     def _prefill(self, prompt_tokens: Sequence[int]) -> Tuple[jnp.ndarray, KVCache]:
         """Bucketed-padded prefill; returns logits at the last prompt row.
@@ -245,7 +251,8 @@ class InferenceEngine:
             yield GenerationState.IN_PROGRESS, next_token
             step = jnp.asarray([[next_token]], dtype=jnp.int32)
             logits, cache = self._fwd(self.model.params, cfg, step, cur_pos,
-                                      cache, attn_impl=self._attn_impl(1))
+                                      cache, attn_impl=self._attn_impl(1),
+                                      mesh=self.mesh)
             next_token = self._select_token(logits[0, -1])
             cur_pos += 1
 
@@ -312,7 +319,8 @@ class InferenceEngine:
             else:
                 step = jnp.asarray([[tok]], dtype=jnp.int32)
                 logits, cache = self._fwd(self.model.params, cfg, step, start,
-                                          cache, attn_impl=self._attn_impl(1))
+                                          cache, attn_impl=self._attn_impl(1),
+                                          mesh=self.mesh)
                 queue.append(int(jnp.argmax(logits[0, -1])))
 
     # ---------------------------------------------------------- streaming

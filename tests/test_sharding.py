@@ -255,3 +255,110 @@ def test_tp_paged_decode_matches_single_device(params):
         return out
 
     assert run(shard=True) == run(shard=False)
+
+
+# ------------------------------------------------ Pallas kernels under TP
+# GSPMD cannot partition pallas_call; on a tp mesh the flash kernels run
+# head-local inside shard_map (parallel/kernel_shard.py). These tests run the
+# REAL forward(attn_impl="flash") on tp-sharded inputs (interpret-mode
+# kernels on the CPU mesh) and require parity with the single-device run.
+
+def test_tp_flash_prefill_matches_single_device(params):
+    tokens = jnp.asarray([[3, 14, 15, 92, 65, 35, 89, 79]], dtype=jnp.int32)
+    # single-device run of the SAME kernel: the tp assertion is about the
+    # shard_map partitioning, not the (separately-tested) kernel numerics
+    ref_logits, _ = forward(params, CFG, tokens, 0, KVCache.create(CFG, 1, 32),
+                            attn_impl="flash")
+    xla_logits, _ = FWD(params, CFG, tokens, 0, KVCache.create(CFG, 1, 32))
+
+    mesh = make_mesh(tp=4, dp=1)
+    sp = shard_params(params, mesh)
+    sc = shard_cache(KVCache.create(CFG, 1, 32), mesh)
+    st = jax.device_put(tokens, token_sharding(mesh))
+    got_logits, _ = jax.jit(forward, static_argnums=(1,),
+                            static_argnames=("attn_impl", "mesh"))(
+        sp, CFG, st, 0, sc, attn_impl="flash", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(
+        np.asarray(got_logits).argmax(-1), np.asarray(xla_logits).argmax(-1))
+
+
+def test_tp_flash_decode_matches_single_device(params):
+    prompt = jnp.asarray([[5, 9, 2]], dtype=jnp.int32)
+    mesh = make_mesh(tp=4, dp=1)
+    sp = shard_params(params, mesh)
+    fwd_st = jax.jit(forward, static_argnums=(1,),
+                     static_argnames=("attn_impl", "mesh"))
+
+    ref_cache = KVCache.create(CFG, 1, 32)
+    ref_logits, ref_cache = FWD(params, CFG, prompt, 0, ref_cache)
+    tp_cache = shard_cache(KVCache.create(CFG, 1, 32), mesh)
+    _, tp_cache = fwd_st(sp, CFG, jax.device_put(prompt, token_sharding(mesh)),
+                         0, tp_cache, attn_impl="xla")
+
+    toks_ref, toks_tp = [], []
+    tok = int(np.asarray(ref_logits)[0, -1].argmax())
+    tok_tp = tok
+    for pos in range(3, 7):
+        ref_logits, ref_cache = FWD(params, CFG,
+                                    jnp.asarray([[tok]], jnp.int32), pos, ref_cache)
+        tok = int(np.asarray(ref_logits)[0, -1].argmax())
+        toks_ref.append(tok)
+        got_logits, tp_cache = fwd_st(sp, CFG, jnp.asarray([[tok_tp]], jnp.int32),
+                                      pos, tp_cache, attn_impl="flash", mesh=mesh)
+        tok_tp = int(np.asarray(got_logits)[0, -1].argmax())
+        toks_tp.append(tok_tp)
+    assert toks_tp == toks_ref
+
+
+def test_tp_flash_decode_int8_cache(params):
+    """int8 KV cache + flash decode kernel under tp (the production fast
+    path for quantized caches) must match the unsharded int8 xla path."""
+    prompt = jnp.asarray([[7, 3, 11]], dtype=jnp.int32)
+    mesh = make_mesh(tp=4, dp=1)
+    sp = shard_params(params, mesh)
+    fwd_st = jax.jit(forward, static_argnums=(1,),
+                     static_argnames=("attn_impl", "mesh"))
+
+    ref_cache = KVCache.create(CFG, 1, 32, dtype=jnp.int8)
+    ref_logits, ref_cache = FWD(params, CFG, prompt, 0, ref_cache)
+    tp_cache = shard_cache(KVCache.create(CFG, 1, 32, dtype=jnp.int8), mesh)
+    _, tp_cache = fwd_st(sp, CFG, jax.device_put(prompt, token_sharding(mesh)),
+                         0, tp_cache, attn_impl="xla")
+
+    ref_logits, ref_cache = FWD(params, CFG, jnp.asarray([[4]], jnp.int32),
+                                3, ref_cache)
+    got_logits, tp_cache = fwd_st(sp, CFG, jnp.asarray([[4]], jnp.int32),
+                                  3, tp_cache, attn_impl="flash", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_array_equal(
+        np.asarray(got_logits).argmax(-1), np.asarray(ref_logits).argmax(-1))
+
+
+def test_tp_paged_flash_decode_matches_dense(params):
+    """paged_flash_decode on a tp-sharded pool via shard_map."""
+    from llama_nuts_and_bolts_tpu.parallel import shard_pool
+    from llama_nuts_and_bolts_tpu.parallel.kernel_shard import tp_paged_flash_decode
+    from llama_nuts_and_bolts_tpu.kernels.paged_attention import paged_flash_decode
+
+    mesh = make_mesh(tp=4, dp=1)
+    B, KV, H, D, bs, nblocks, M = 2, CFG.kv_heads, CFG.n_heads, CFG.head_dim, 8, 6, 2
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, 1, H, D), jnp.bfloat16)
+    pool_k = jax.random.normal(key, (nblocks, KV, bs, D), jnp.bfloat16)
+    pool_v = jax.random.normal(jax.random.PRNGKey(1), (nblocks, KV, bs, D), jnp.bfloat16)
+    tables = jnp.asarray([[1, 3], [2, 4]], jnp.int32)
+    positions = jnp.asarray([5, 11], jnp.int32)
+
+    ref = paged_flash_decode(q, pool_k, pool_v, tables, positions)
+
+    from jax.sharding import NamedSharding
+    q_s = jax.device_put(q, NamedSharding(mesh, P(None, None, "tp", None)))
+    pk_s = jax.device_put(pool_k, NamedSharding(mesh, P(None, "tp", None, None)))
+    pv_s = jax.device_put(pool_v, NamedSharding(mesh, P(None, "tp", None, None)))
+    got = jax.jit(tp_paged_flash_decode, static_argnums=(0,))(
+        mesh, q_s, pk_s, pv_s, tables, positions)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)
