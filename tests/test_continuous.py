@@ -261,3 +261,100 @@ def test_spec_batcher_respects_seq_cap():
     cb.run_until_idle()
     ref = list(make_engine(sequence_length=10).generate_tokens([1, 5, 9, 1, 5, 9]))
     assert drain(r) == ref
+
+
+# ------------------------------------------ adversarial speculation staleness
+# Rejected-draft K/V writes land at cache rows beyond the accepted point; the
+# correctness claim (runtime/continuous.py:_decode_step_spec) is that those
+# rows are invisible until overwritten by real tokens. These tests FORCE the
+# worst cases: max-K drafts rejected at every step (every row repeatedly
+# written with garbage then overwritten and re-read), accept-then-reject at
+# every step, and rejection pressure right against the sequence cap.
+
+def _patched_proposer(monkeypatch, propose_fn):
+    from llama_nuts_and_bolts_tpu.runtime import speculative
+    monkeypatch.setattr(speculative.NgramProposer, "propose", propose_fn)
+
+
+def test_spec_all_drafts_rejected_rows_reread(monkeypatch):
+    """Every step proposes K garbage drafts (always rejected): every decode
+    position is first written with garbage K/V, then overwritten by the real
+    token and re-read by all later steps. Token parity must hold exactly."""
+    calls = {"n": 0}
+
+    def garbage(self, k):
+        calls["n"] += 1
+        # valid ids, extremely unlikely to equal the model argmax chain
+        return [(7 + 13 * i + 29 * calls["n"]) % 250 for i in range(k)]
+
+    _patched_proposer(monkeypatch, garbage)
+    eng = make_engine(sequence_length=24)
+    cb = ContinuousBatcher(eng, n_slots=2, speculate_k=4)
+    prompts = [[1, 5, 9], [7, 8]]
+    reqs = [cb.submit(p) for p in prompts]
+    cb.run_until_idle()
+    assert calls["n"] > 0 and cb.spec_stats["accepted"] == 0
+    # near the cap the batcher proposes fewer than K drafts; every step that
+    # did draft must have drafted the full K it asked for
+    assert cb.spec_stats["drafted"] > 0
+    for p, r in zip(prompts, reqs):
+        assert drain(r) == seq_tokens(p), f"divergence for prompt {p}"
+
+
+def test_spec_accept_then_reject_every_step(monkeypatch):
+    """First draft correct (accepted), rest garbage (rejected): every step
+    leaves K-1 garbage rows right after an accepted row — the accepted row
+    must survive, the garbage rows must be overwritten before being read."""
+    prompt = [1, 5, 9]
+    truth = [t for _, t in seq_tokens(prompt)]
+
+    def oracle_prefix(self, k):
+        emitted = len(self.context) - len(prompt) - 1  # minus prefill token
+        good = truth[emitted + 1:emitted + 2]          # exactly 1 true token
+        return good + [(11 + 17 * i) % 250 for i in range(k - len(good))]
+
+    _patched_proposer(monkeypatch, oracle_prefix)
+    eng = make_engine(sequence_length=24)
+    cb = ContinuousBatcher(eng, n_slots=1, speculate_k=4)
+    r = cb.submit(prompt)
+    cb.run_until_idle()
+    assert drain(r) == seq_tokens(prompt)
+    assert cb.spec_stats["accepted"] > 0
+    assert cb.spec_stats["accepted"] < cb.spec_stats["drafted"]
+
+
+def test_spec_max_drafts_rejected_at_seq_cap(monkeypatch):
+    """Max-K garbage drafts proposed while the context runs into the
+    sequence cap: draft rows spill into the [seq_len, seq_len+K) headroom
+    region and must never corrupt rows below the cap."""
+
+    def garbage(self, k):
+        return [(3 + 5 * i) % 250 for i in range(k)]
+
+    _patched_proposer(monkeypatch, garbage)
+    for cap in (10, 11, 12):
+        eng = make_engine(sequence_length=cap)
+        cb = ContinuousBatcher(eng, n_slots=1, speculate_k=4)
+        prompt = [1, 5, 9, 1, 5]
+        r = cb.submit(prompt)
+        cb.run_until_idle()
+        assert drain(r) == seq_tokens(prompt, seq_len=cap), f"cap={cap}"
+
+
+def test_spec_interleaved_admission_with_rejections(monkeypatch):
+    """A fresh request admitted while a neighbor slot is mid-rejection-storm
+    must not read the neighbor's garbage rows (cross-slot isolation)."""
+
+    def garbage(self, k):
+        return [(19 + 7 * i) % 250 for i in range(k)]
+
+    _patched_proposer(monkeypatch, garbage)
+    eng = make_engine(sequence_length=24)
+    cb = ContinuousBatcher(eng, n_slots=2, speculate_k=4)
+    r1 = cb.submit([1, 5, 9])
+    for _ in range(3):
+        cb.step()
+    r2 = cb.submit([7, 8])
+    cb.run_until_idle()
+    assert drain(r1) == seq_tokens([1, 5, 9])
+    assert drain(r2) == seq_tokens([7, 8])
