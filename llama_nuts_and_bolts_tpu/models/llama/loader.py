@@ -231,6 +231,7 @@ def load_llama_model(
     sharding_fn: Optional[ShardingFn] = None,
     include_tensors: bool = True,
     quant: Optional[str] = None,
+    fused: bool = False,
 ) -> LoadedModel:
     """Load Meta-format model dir: consolidated.00.pth + params.json + tokenizer.model.
 
@@ -261,7 +262,8 @@ def load_llama_model(
         else:
             tensors = load_torch_checkpoint(os.path.join(model_dir, "consolidated.00.pth"))
         tensor_meta = {n: (t.shape, str(t.dtype)) for n, t in tensors.items()}
-        params = build_params_from_checkpoint(tensors, cfg, sharding_fn, quant=quant)
+        params = build_params_from_checkpoint(tensors, cfg, sharding_fn, quant=quant,
+                                              fused=fused)
         log.info("Loaded %d tensors.", len(tensors))
     return LoadedModel(params=params, cfg=cfg, vocab=vocab,
                        mergeable_ranks=tk_model.mergeable_ranks,

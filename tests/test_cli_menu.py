@@ -66,3 +66,22 @@ def test_parse_args_defaults():
     assert args.speculate == 0
     args = parse_args(["--quant", "int4", "--speculate", "4"])
     assert args.quant == "int4" and args.speculate == 4
+
+
+def test_capture_parity_harness_on_tiny_model():
+    """The parity-capture harness end-to-end on the synthetic tiny model:
+    tokenizes all six predefined prompts (byte-fallback vocab), generates
+    greedily, and returns well-formed golden records."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from capture_parity import capture_with_engine
+
+    from tests.test_streaming import make_engine
+
+    engine = make_engine(sequence_length=256)
+    out = capture_with_engine(engine, label="tiny")
+    assert len(out["prompts"]) == 6
+    for rec in out["prompts"]:
+        assert rec["prompt_tokens"] and isinstance(rec["generated"], list)
+        assert rec["finish_state"] in ("FINISHED_BY_REACHING_EOS",
+                                       "FINISHED_BY_REACHING_SEQ_LEN")

@@ -170,3 +170,29 @@ def test_layer0_per_stage_golden_tensors(layer0_model):
     _check("logits", logits[0])
     _check("logits_last_row", logits[:, -1])
     assert int(np.asarray(logits)[0, -1].argmax()) == NEXT_TOKEN
+
+
+def test_predefined_prompt_goldens(model_dir):
+    """BASELINE criterion #1 as one command: scripts/capture_parity.py writes
+    tests/goldens/predefined_prompts.json; this replays the six predefined
+    prompts greedily and requires exact-token equality with the stored
+    goldens (which the harness README explains how to cross-generate from
+    the Go reference)."""
+    import json
+
+    goldens_path = os.path.join(os.path.dirname(__file__), "goldens",
+                                "predefined_prompts.json")
+    if not os.path.exists(goldens_path):
+        pytest.skip("run scripts/capture_parity.py first to record goldens")
+    with open(goldens_path) as f:
+        goldens = json.load(f)
+
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from capture_parity import capture
+
+    got = capture(model_dir, seq_len=goldens["seq_len"])
+    for exp, act in zip(goldens["prompts"], got["prompts"]):
+        assert act["prompt_tokens"] == exp["prompt_tokens"], exp["index"]
+        assert act["generated"] == exp["generated"], (
+            f"prompt {exp['index']} diverged: {act['text']!r} vs {exp['text']!r}")
