@@ -76,9 +76,24 @@ def test_capture_parity_harness_on_tiny_model():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
     from capture_parity import capture_with_engine
 
-    from tests.test_streaming import make_engine
+    import jax
 
-    engine = make_engine(sequence_length=256)
+    from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+    from llama_nuts_and_bolts_tpu.models.llama import init_random_params
+    from llama_nuts_and_bolts_tpu.models.llama.loader import LoadedModel
+    from llama_nuts_and_bolts_tpu.runtime import InferenceArgs, InferenceEngine
+    from tests.test_streaming import RANKS, VOCAB
+
+    # the synthetic byte-level vocab inflates the chat prompts (~140 tokens),
+    # so this engine needs a longer context than the other tiny fixtures
+    cfg = ModelArgs(dim=32, n_layers=2, n_heads=4, n_kv_heads=2,
+                    vocab_size=VOCAB.size, multiple_of=16, norm_eps=1e-5,
+                    max_sequence_length=256)
+    params = jax.jit(init_random_params, static_argnums=(0,))(cfg, jax.random.PRNGKey(0))
+    engine = InferenceEngine(
+        LoadedModel(params=params, cfg=cfg, vocab=VOCAB,
+                    mergeable_ranks=RANKS, tensor_meta={}),
+        InferenceArgs(sequence_length=200))
     out = capture_with_engine(engine, label="tiny")
     assert len(out["prompts"]) == 6
     for rec in out["prompts"]:
