@@ -9,6 +9,10 @@ echo "== building native BPE merge =="
 g++ -O3 -shared -fPIC -std=c++17 native/bpe_merge.cpp -o native/libbpe_merge.so
 echo "built native/libbpe_merge.so"
 
+echo "== building native block pool =="
+g++ -O3 -shared -fPIC -std=c++17 native/block_pool.cpp -o native/libblock_pool.so
+echo "built native/libblock_pool.so"
+
 if [ "${1:-}" = "wheel" ]; then
   echo "== building wheel =="
   python -m pip wheel --no-deps -w dist .
