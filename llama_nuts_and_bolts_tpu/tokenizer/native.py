@@ -74,18 +74,19 @@ class NativeBpe:
         self._ctx = ctypes.c_void_p(lib.bpe_ctx_new(tokens, lens, rank_vals, n))
         if not self._ctx:
             raise RuntimeError("bpe_ctx_new failed")
-        self._max_piece = 1024
-        self._out = (ctypes.c_int32 * self._max_piece)()
-
     def encode_piece(self, piece: bytes) -> Optional[List[int]]:
-        """Token ids for one pre-split piece, or None if not encodable."""
-        if len(piece) > self._max_piece:
-            self._max_piece = len(piece) * 2
-            self._out = (ctypes.c_int32 * self._max_piece)()
-        n = self._lib.bpe_encode(self._ctx, piece, len(piece), self._out)
+        """Token ids for one pre-split piece, or None if not encodable.
+
+        Thread-safe: the output buffer is allocated per call — an engine (and
+        its tokenizer) is shared by concurrent server handler threads, and a
+        shared buffer here once corrupted concurrent requests' prompt ids
+        (caught by test_serving's concurrent-parity test as a rare flake).
+        The C++ side only reads the rank table, so no lock is needed."""
+        out = (ctypes.c_int32 * max(len(piece), 1))()
+        n = self._lib.bpe_encode(self._ctx, piece, len(piece), out)
         if n < 0:
             return None
-        return list(self._out[:n])
+        return list(out[:n])
 
     def __del__(self):
         ctx = getattr(self, "_ctx", None)

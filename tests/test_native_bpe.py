@@ -70,3 +70,44 @@ def test_native_is_faster():
     t_python = time.perf_counter() - t0
     # the native merge should win clearly; allow slack for CI noise
     assert t_native < t_python, (t_native, t_python)
+
+
+def test_native_encode_thread_safe():
+    """Concurrent encode_piece calls on ONE NativeBpe (the serving layer
+    shares the engine's tokenizer across handler threads) must produce
+    exactly the serial results. Regression: a shared output buffer made
+    concurrent requests corrupt each other's prompt token ids."""
+    import threading
+
+    from llama_nuts_and_bolts_tpu.tokenizer.native import NativeBpe, native_available
+
+    if not native_available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    ranks = {bytes([i]): i for i in range(256)}
+    ranks[b"he"] = 256
+    ranks[b"ll"] = 257
+    ranks[b"hell"] = 258
+    ranks[b"hello"] = 259
+    ranks[b" wo"] = 260
+    nb = NativeBpe(ranks)
+    pieces = [b"hello", b" world", b"hello hello hello", b"abcdefgh" * 8,
+              b"\xf0\x9f\x87\xb9\xf0\x9f\x87\xb7"]
+    serial = {p: nb.encode_piece(p) for p in pieces}
+
+    errors = []
+    def worker(seed):
+        import random
+        rnd = random.Random(seed)
+        for _ in range(300):
+            p = pieces[rnd.randrange(len(pieces))]
+            got = nb.encode_piece(p)
+            if got != serial[p]:
+                errors.append((p, got, serial[p]))
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
