@@ -88,6 +88,10 @@ def parse_args(argv=None):
                    help="process prompts longer than C tokens in C-token "
                         "chunks (bounds prefill memory at long context and "
                         "compiles one chunk executable; 0 disables)")
+    p.add_argument("--tp", type=int, default=0, metavar="N",
+                   help="tensor parallelism: shard the model over N devices "
+                        "(Megatron column/row sharding, one psum per "
+                        "sub-block; 0 = single device)")
     p.add_argument("--debug", action="store_true", help="write debug.log trace")
     p.add_argument("--tiny", action="store_true",
                    help="use a tiny random-weights model + synthetic tokenizer "
@@ -223,6 +227,13 @@ def main(argv=None) -> int:
 
     set_logger(Logger(debug_path="debug.log" if args.debug else None))
 
+    mesh = None
+    if args.tp and args.tp > 1:
+        from llama_nuts_and_bolts_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tp=args.tp)
+        print(f"Tensor parallelism: tp={args.tp} over {args.tp} devices.")
+
     if args.tiny:
         model = load_tiny_model()
         if args.quant != "none":
@@ -233,13 +244,23 @@ def main(argv=None) -> int:
             print(f"Tiny demo model loaded ({args.quant}-quantized).\n")
         else:
             print("Tiny random-weights demo model loaded.\n")
+        if mesh is not None:
+            from llama_nuts_and_bolts_tpu.parallel import shard_params
+
+            model.params = shard_params(model.params, mesh)
     else:
         model_dir = discover_model_dir(args.model_dir)
         print(f'Found model files in "{model_dir}"...')
         from llama_nuts_and_bolts_tpu.models.llama.loader import load_llama_model
 
+        sharding_fn = None
+        if mesh is not None:
+            from llama_nuts_and_bolts_tpu.parallel import param_sharding_fn
+
+            sharding_fn = param_sharding_fn(mesh)
         model = load_llama_model(model_dir, max_sequence_length=args.seq_len,
-                                 quant=None if args.quant == "none" else args.quant)
+                                 quant=None if args.quant == "none" else args.quant,
+                                 sharding_fn=sharding_fn)
         print(f'Model "{model_dir}" was loaded.\n')
 
     if args.meta:
@@ -273,6 +294,7 @@ def main(argv=None) -> int:
                       prefill_chunk=args.prefill_chunk),
         log_fn=live_log,
         draft_model=draft,
+        mesh=mesh,
     )
 
     if args.prompt is not None:

@@ -107,9 +107,15 @@ class InferenceEngine:
         return self.model.vocab.debug_string(token_ids)
 
     def new_cache(self, batch: int = 1) -> KVCache:
-        """Fresh KV cache honoring ``args.kv_cache_dtype`` (bf16 | int8)."""
+        """Fresh KV cache honoring ``args.kv_cache_dtype`` (bf16 | int8);
+        kv-head-sharded over the engine's mesh when one is active."""
         dtype = jnp.int8 if self.args.kv_cache_dtype == "int8" else jnp.bfloat16
-        return KVCache.create(self.model.cfg, batch, self.seq_len, dtype=dtype)
+        cache = KVCache.create(self.model.cfg, batch, self.seq_len, dtype=dtype)
+        if self.mesh is not None:
+            from llama_nuts_and_bolts_tpu.parallel import shard_cache
+
+            cache = shard_cache(cache, self.mesh)
+        return cache
 
     def _attn_impl(self, seq_len: int) -> str:
         """Pallas kernels on TPU where they pay: flash prefill for bf16
@@ -118,6 +124,10 @@ class InferenceEngine:
         into its einsum — it materializes the bf16 cache every step)."""
         on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
         aligned = self.model.cfg.head_dim % 128 == 0
+        if self.mesh is not None:
+            # the shard_map kernel wrappers keep whole GQA groups per shard
+            tp = self.mesh.shape.get("tp", 1)
+            aligned = aligned and self.model.cfg.kv_heads % tp == 0
         if self.args.kv_cache_dtype == "int8":
             return "flash" if (seq_len == 1 and on_tpu and aligned) else "xla"
         if self.args.attn_impl != "auto":

@@ -162,6 +162,10 @@ class PagedBatcher(ContinuousBatcher):
                              "pools use the XLA gather path")
         self.pool = PagedKVPool.create(self.cfg, n_blocks, block_size,
                                        dtype=kv_dtype)
+        if getattr(engine, "mesh", None) is not None:
+            from llama_nuts_and_bolts_tpu.parallel import shard_pool
+
+            self.pool = shard_pool(self.pool, engine.mesh)
         self.prefix_cache = prefix_cache
         self.allocator = PrefixBlockAllocator(n_blocks, block_size,
                                               backend=allocator_backend)

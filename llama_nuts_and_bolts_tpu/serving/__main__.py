@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-prefix-cache", action="store_true",
                    help="with --paged-blocks: disable automatic prefix "
                         "caching (hash-shared prompt blocks)")
+    p.add_argument("--tp", type=int, default=0, metavar="N",
+                   help="tensor parallelism: shard the model over N devices "
+                        "(0 = single device)")
     p.add_argument("--kv-cache", choices=["bf16", "int8"], default="bf16",
                    help="KV cache dtype (int8 halves cache traffic)")
     p.add_argument("--prefill-chunk", type=int, default=0, metavar="C",
@@ -46,6 +49,12 @@ def main(argv=None) -> int:
     from llama_nuts_and_bolts_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
 
+    mesh = None
+    if args.tp and args.tp > 1:
+        from llama_nuts_and_bolts_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tp=args.tp)
+
     if args.tiny:
         from llama_nuts_and_bolts_tpu.cli.main import load_tiny_model
 
@@ -55,14 +64,24 @@ def main(argv=None) -> int:
 
             qfn = quantize_params_q4 if args.quant == "int4" else quantize_params
             model.params = qfn(model.params)
+        if mesh is not None:
+            from llama_nuts_and_bolts_tpu.parallel import shard_params
+
+            model.params = shard_params(model.params, mesh)
         name = "tiny-random"
     else:
         from llama_nuts_and_bolts_tpu.cli.main import discover_model_dir
         from llama_nuts_and_bolts_tpu.models.llama.loader import load_llama_model
 
         model_dir = discover_model_dir(args.model_dir)
+        sharding_fn = None
+        if mesh is not None:
+            from llama_nuts_and_bolts_tpu.parallel import param_sharding_fn
+
+            sharding_fn = param_sharding_fn(mesh)
         model = load_llama_model(model_dir, max_sequence_length=args.seq_len,
-                                 quant=None if args.quant == "none" else args.quant)
+                                 quant=None if args.quant == "none" else args.quant,
+                                 sharding_fn=sharding_fn)
         name = "llama-3.1-8b-instruct"
 
     draft = None
@@ -75,7 +94,7 @@ def main(argv=None) -> int:
                                                   speculate_k=args.speculate,
                                                   kv_cache_dtype=args.kv_cache,
                                                   prefill_chunk=args.prefill_chunk),
-                             draft_model=draft)
+                             draft_model=draft, mesh=mesh)
     if args.cache_system_prompt and not args.continuous:
         from llama_nuts_and_bolts_tpu.tokenizer import PromptPart, render_prefix_tokens
 

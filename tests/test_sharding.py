@@ -362,3 +362,69 @@ def test_tp_paged_flash_decode_matches_dense(params):
         mesh, q_s, pk_s, pv_s, tables, positions)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)
+
+
+# ------------------------------------------------------ engine-level TP e2e
+
+def test_tp_engine_generates_identical_tokens(params):
+    """The full InferenceEngine with a mesh (the --tp CLI/serving path):
+    sharded params + sharded cache through prefill, decode, and streaming —
+    tokens must equal the single-device engine's."""
+    from llama_nuts_and_bolts_tpu.models.llama.loader import LoadedModel
+    from llama_nuts_and_bolts_tpu.runtime import InferenceArgs, InferenceEngine
+    from llama_nuts_and_bolts_tpu.tokenizer import TiktokenModel, Vocabulary
+    from llama_nuts_and_bolts_tpu.tokenizer.tiktoken_io import build_special_tokens
+
+    ranks = {bytes([i]): i for i in range(110)}
+    special = build_special_tokens(len(ranks))
+    tm = TiktokenModel(mergeable_ranks=ranks, special_tokens=special,
+                       bos_id=special["<|begin_of_text|>"],
+                       eos_id=special["<|end_of_text|>"],
+                       stop_token_ids=[special["<|eom_id|>"], special["<|eot_id|>"]])
+    vocab = Vocabulary.from_tiktoken(tm)
+
+    def engine_for(mesh):
+        p = params if mesh is None else shard_params(params, mesh)
+        model = LoadedModel(params=p, cfg=CFG, vocab=vocab,
+                            mergeable_ranks=ranks, tensor_meta={})
+        return InferenceEngine(model, InferenceArgs(sequence_length=24), mesh=mesh)
+
+    ref = list(engine_for(None).generate_tokens([3, 14, 15]))
+    mesh = make_mesh(tp=4, dp=1)
+    got = list(engine_for(mesh).generate_tokens([3, 14, 15]))
+    assert got == ref
+
+
+def test_tp_continuous_batcher_matches_sequential(params):
+    """Continuous batching over a tensor-parallel engine (sharded batch
+    cache, GSPMD decode step) reproduces the sequential engine's tokens."""
+    from llama_nuts_and_bolts_tpu.models.llama.loader import LoadedModel
+    from llama_nuts_and_bolts_tpu.runtime import InferenceArgs, InferenceEngine
+    from llama_nuts_and_bolts_tpu.runtime.continuous import ContinuousBatcher
+    from llama_nuts_and_bolts_tpu.tokenizer import TiktokenModel, Vocabulary
+    from llama_nuts_and_bolts_tpu.tokenizer.tiktoken_io import build_special_tokens
+
+    ranks = {bytes([i]): i for i in range(110)}
+    special = build_special_tokens(len(ranks))
+    tm = TiktokenModel(mergeable_ranks=ranks, special_tokens=special,
+                       bos_id=special["<|begin_of_text|>"],
+                       eos_id=special["<|end_of_text|>"],
+                       stop_token_ids=[special["<|eom_id|>"], special["<|eot_id|>"]])
+    vocab = Vocabulary.from_tiktoken(tm)
+
+    def engine_for(mesh):
+        p = params if mesh is None else shard_params(params, mesh)
+        model = LoadedModel(params=p, cfg=CFG, vocab=vocab,
+                            mergeable_ranks=ranks, tensor_meta={})
+        return InferenceEngine(model, InferenceArgs(sequence_length=24), mesh=mesh)
+
+    prompts = [[3, 14, 15], [7, 8]]
+    ref = {tuple(p): list(engine_for(None).generate_tokens(p)) for p in prompts}
+
+    mesh = make_mesh(tp=4, dp=1)
+    cb = ContinuousBatcher(engine_for(mesh), n_slots=2)
+    reqs = [cb.submit(p) for p in prompts]
+    cb.run_until_idle()
+    for p, r in zip(prompts, reqs):
+        got = [(s, t) for s, t in r.tokens(timeout=30)]
+        assert got == ref[tuple(p)], f"divergence for {p}"
