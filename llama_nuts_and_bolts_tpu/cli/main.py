@@ -248,6 +248,10 @@ def main(argv=None) -> int:
             from llama_nuts_and_bolts_tpu.parallel import shard_params
 
             model.params = shard_params(model.params, mesh)
+        elif args.quant == "none":
+            from llama_nuts_and_bolts_tpu.models.llama import fuse_decode_params
+
+            model.params = fuse_decode_params(model.params)
     else:
         model_dir = discover_model_dir(args.model_dir)
         print(f'Found model files in "{model_dir}"...')
@@ -258,9 +262,12 @@ def main(argv=None) -> int:
             from llama_nuts_and_bolts_tpu.parallel import param_sharding_fn
 
             sharding_fn = param_sharding_fn(mesh)
+        # single-chip plain-bf16 loads take the fused decode layout (measured
+        # ~3.5% more HBM bandwidth at b=1; docs/07-PERFORMANCE.md)
+        fused = args.quant == "none" and mesh is None
         model = load_llama_model(model_dir, max_sequence_length=args.seq_len,
                                  quant=None if args.quant == "none" else args.quant,
-                                 sharding_fn=sharding_fn)
+                                 sharding_fn=sharding_fn, fused=fused)
         print(f'Model "{model_dir}" was loaded.\n')
 
     if args.meta:

@@ -68,6 +68,12 @@ def main(argv=None) -> int:
             from llama_nuts_and_bolts_tpu.parallel import shard_params
 
             model.params = shard_params(model.params, mesh)
+        elif args.quant == "none" and not args.paged_blocks:
+            # fused decode layout (paged batching keeps the split layout:
+            # models/llama/paged.py has its own forward)
+            from llama_nuts_and_bolts_tpu.models.llama import fuse_decode_params
+
+            model.params = fuse_decode_params(model.params)
         name = "tiny-random"
     else:
         from llama_nuts_and_bolts_tpu.cli.main import discover_model_dir
@@ -79,9 +85,11 @@ def main(argv=None) -> int:
             from llama_nuts_and_bolts_tpu.parallel import param_sharding_fn
 
             sharding_fn = param_sharding_fn(mesh)
+        fused = (args.quant == "none" and mesh is None
+                 and not args.paged_blocks)
         model = load_llama_model(model_dir, max_sequence_length=args.seq_len,
                                  quant=None if args.quant == "none" else args.quant,
-                                 sharding_fn=sharding_fn)
+                                 sharding_fn=sharding_fn, fused=fused)
         name = "llama-3.1-8b-instruct"
 
     draft = None
