@@ -6,6 +6,17 @@ this measures ICI-psum-limited scaling; on this dev box it runs on the
 virtual CPU mesh (mechanics + numbers-shape only — CPU "devices" share cores,
 so efficiency there is NOT meaningful hardware data).
 
+Correctness evidence for the multi-process path this harness would scale
+over lives in ``tests/test_multiprocess.py`` (two OS processes, one global
+mesh via jax.distributed/gloo, exact token parity). On a real multi-host
+slice, launch ONE copy of this script per host with::
+
+    COORD=host0:9876 NPROC=2 PROC=0 python scripts/scaling_bench.py
+    COORD=host0:9876 NPROC=2 PROC=1 python scripts/scaling_bench.py
+
+and the mesh spans all hosts' chips (initialize_multihost); the tp sweep
+then exercises DCN+ICI collectives for real.
+
 Usage:  python scripts/scaling_bench.py [--layers N] [--dim D] [--steps N]
 """
 
@@ -37,6 +48,15 @@ def main() -> None:
 
     if args.cpu_mesh:
         jax.config.update("jax_platforms", "cpu")
+
+    import os
+
+    if os.environ.get("COORD"):
+        from llama_nuts_and_bolts_tpu.parallel import initialize_multihost
+
+        initialize_multihost(coordinator_address=os.environ["COORD"],
+                             num_processes=int(os.environ["NPROC"]),
+                             process_id=int(os.environ["PROC"]))
 
     from llama_nuts_and_bolts_tpu.io.params import ModelArgs
     from llama_nuts_and_bolts_tpu.models.llama import forward, init_random_params
