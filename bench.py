@@ -172,7 +172,7 @@ def main() -> None:
     tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
     sync(tok)
     ttft = time.perf_counter() - t0
-    N_SCANS = 4
+    N_SCANS = 6
     extra = [(KVCache.create(cfg, 1, SEQ_CAP), jnp.ones((1, 1), jnp.int32))
              for _ in range(N_SCANS - 1)]
     sync(extra[-1][0])
