@@ -307,3 +307,35 @@ def test_prefix_cache_rejects_bad_prefix():
         engine.cache_prefix([])
     with pytest.raises(ValueError):
         engine.cache_prefix(list(range(16)))
+
+
+# ----------------------------------------------------------- gemoji table
+
+def test_gemoji_table_coverage_and_tiebreak():
+    from llama_nuts_and_bolts_tpu.runtime.gemoji import alias_table
+
+    t = alias_table()
+    # all 258 regional-indicator flags + the 3 tag-sequence flags present
+    flags = [k for k in t if len(k) == 2 and all(
+        0x1F1E6 <= ord(c) <= 0x1F1FF for c in k)]
+    assert len(flags) == 258
+    assert t["\U0001F3F4\U000E0067\U000E0062\U000E0073\U000E0063"
+             "\U000E0074\U000E007F"] == "flag_for_scotland"
+    # all 25 RGI family ZWJ sequences generated
+    fams = [a for a in t.values() if a.startswith("family_")]
+    assert len(fams) == 25
+    # gendered roles ride their base emoji + ZWJ + gender sign + VS16
+    assert t["\U0001F9D9‍♀️"] == "woman_mage"
+    assert t["\U0001F9DC‍♂️"] == "merman"
+    assert t["\U0001F469‍\U0001F680"] == "woman_astronaut"
+    # exact-match keys: text-default emoji require VS16, like the gemoji map
+    assert "❤" not in t and t["❤️"] == "red_heart"
+
+
+def test_segmentation_prefers_longest_table_key():
+    """ZWJ families segment as ONE emoji when complete, per-rune when not —
+    exactly the reference's table-driven greedy segmentation."""
+    fam = "\U0001F468‍\U0001F469‍\U0001F467‍\U0001F466"
+    assert segment_emoji(fam) == [fam]
+    partial = "\U0001F468‍\U0001F469"       # man ZWJ woman: not a key
+    assert segment_emoji(partial) == ["\U0001F468", "‍", "\U0001F469"]
