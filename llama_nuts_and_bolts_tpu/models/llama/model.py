@@ -128,7 +128,7 @@ def forward(
     tokens: jnp.ndarray,      # int32 [B, S]
     start_pos,                # traced int32 scalar, or [B] vector (per-row)
     cache: KVCache,
-    attn_impl: str = "xla",   # "xla" | "flash" (Pallas fused kernel)
+    attn_impl: str = "xla",   # "xla" | "flash" (Pallas) | "ring" (seq-parallel)
     logits_at=None,           # traced row index: project only this position
     mesh=None,                # jax.sharding.Mesh: flash kernels via shard_map
 ) -> Tuple[jnp.ndarray, KVCache]:
@@ -150,6 +150,9 @@ def forward(
     per_row = getattr(start_pos, "ndim", 0) == 1
     if per_row and attn_impl != "xla":
         raise ValueError("vector start_pos requires attn_impl='xla'")
+    if attn_impl == "ring" and (mesh is None or S == 1):
+        raise ValueError("attn_impl='ring' is the sequence-parallel PREFILL "
+                         "path: needs a mesh with an sp axis and S > 1")
 
     x = jnp.take(params.tok_embeddings, tokens, axis=0)          # [B,S,dim] bf16
     if per_row:
@@ -239,17 +242,26 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin).transpose(0, 2, 1, 3)         # [B,KV,S,D]
         v = v.transpose(0, 2, 1, 3)
+        if attn_impl == "ring":
+            # sequence-parallel exact prefill attention over the CURRENT
+            # segment (whole-prompt prefill: no prior cache content). K/V
+            # still land in the cache below for the decode steps that follow.
+            from llama_nuts_and_bolts_tpu.parallel.ring_attention import (
+                ring_gqa_attention,
+            )
+
+            att_ring = ring_gqa_attention(mesh, q, k, v, start_pos)
         if quantized:
             kq, ks = quantize_kv_rows(k)                          # s: [B,KV,S]
             vq, vs = quantize_kv_rows(v)
             ck, cks = write(ck, kq, start_pos), write(cks, ks, start_pos)
             cv, cvs = write(cv, vq, start_pos), write(cvs, vs, start_pos)
-            att = attend(q, ck, cv, cks, cvs)
+            att = att_ring if attn_impl == "ring" else attend(q, ck, cv, cks, cvs)
             out_carry = (ck, cv, cks, cvs)
         else:
             ck = write(ck, k, start_pos)
             cv = write(cv, v, start_pos)
-            att = attend(q, ck, cv)
+            att = att_ring if attn_impl == "ring" else attend(q, ck, cv)
             out_carry = (ck, cv)
         if fused:
             x = x + linear_t(att.reshape(B, S, H * D), w["wo"])
