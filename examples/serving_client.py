@@ -58,10 +58,13 @@ def main():
     results = {}
 
     def hit(i, temperature, seed):
-        r = post(base, "/v1/completions",
-                 {"prompt": "The answer is", "max_tokens": 12,
-                  "temperature": temperature, "seed": seed})
-        results[i] = r["choices"][0]["text"]
+        try:
+            r = post(base, "/v1/completions",
+                     {"prompt": "The answer is", "max_tokens": 12,
+                      "temperature": temperature, "seed": seed})
+            results[i] = r["choices"][0]["text"]
+        except Exception as exc:   # surface thread failures in the output
+            results[i] = f"<request failed: {exc!r}>"
 
     threads = [threading.Thread(target=hit, args=(0, 0.0, None)),
                threading.Thread(target=hit, args=(1, 0.8, 7)),
