@@ -93,6 +93,11 @@ def parse_args(argv=None):
                         "(Megatron column/row sharding, one psum per "
                         "sub-block; 0 = single device)")
     p.add_argument("--debug", action="store_true", help="write debug.log trace")
+    p.add_argument("--narrate", action="store_true",
+                   help="before generating, run one layer-at-a-time narrated "
+                        "prefill showing per-layer device time (the "
+                        "reference's 'Transformer block layer x/y took ...' "
+                        "lines; slower than the fused prefill)")
     p.add_argument("--tiny", action="store_true",
                    help="use a tiny random-weights model + synthetic tokenizer "
                         "(no model files needed; for smoke-testing the stack)")
@@ -196,7 +201,7 @@ def ask_user_prompt_choice(model, out=sys.stdout) -> PromptInput:
 
 
 def run_generation(engine: InferenceEngine, prompt_input: PromptInput,
-                   app: AppState) -> GenerationState:
+                   app: AppState, narrate: bool = False) -> GenerationState:
     if prompt_input.is_chat_mode:
         parts: List[PromptPart] = [
             PromptPart("system", prompt_input.system_prompt),
@@ -211,6 +216,23 @@ def run_generation(engine: InferenceEngine, prompt_input: PromptInput,
 
     prompt_pieces, prompt_text = engine.token_batch_to_string(tokens)
     app.begin_generation(prompt_pieces, prompt_text, engine.seq_len)
+
+    if narrate:
+        # one layer-at-a-time prefill with per-layer wall-clock surfaced in
+        # the "Running for next token" line (reference:
+        # src/model/llamatransformer.go:163 -> infContext.Logf -> TUI)
+        import jax.numpy as jnp
+
+        from llama_nuts_and_bolts_tpu.runtime.profiling import narrated_forward
+
+        def narrate_log(msg):
+            engine.log("%s", msg)
+            app.latest_log_text = msg
+            app.update_output()
+
+        narrated_forward(engine.model.params, engine.model.cfg,
+                         jnp.asarray([list(tokens)], dtype=jnp.int32),
+                         0, engine.new_cache(1), log_fn=narrate_log)
 
     for part in engine.generate_string(tokens):
         app.consume(part)
@@ -313,7 +335,7 @@ def main(argv=None) -> int:
     else:
         prompt_input = ask_user_prompt_choice(model)
 
-    state = run_generation(engine, prompt_input, app)
+    state = run_generation(engine, prompt_input, app, narrate=args.narrate)
     reason = {
         GenerationState.FINISHED_BY_REACHING_EOS: "reaching EOS token",
         GenerationState.FINISHED_BY_REACHING_SEQ_LEN: "reaching sequence length",

@@ -82,20 +82,40 @@ class StepTimer:
 def _one_block(w, x, cos, sin, mask, ck, cv, start_pos, norm_eps):
     B, S, _ = x.shape
     KV, D = ck.shape[1], ck.shape[3]
-    H = w["wq"].shape[0] // D
+    fused = "wqkv" in w     # decode-optimized layout (model.fuse_decode_params)
     h = rms_norm(x, w["attn_norm"], norm_eps)
-    q = linear(h, w["wq"]).reshape(B, S, H, D)
-    k = linear(h, w["wk"]).reshape(B, S, KV, D)
-    v = linear(h, w["wv"]).reshape(B, S, KV, D)
+    if fused:
+        from llama_nuts_and_bolts_tpu.ops import linear_t
+
+        H = (w["wqkv"].shape[1] - 2 * KV * D) // D
+        qkv = linear_t(h, w["wqkv"])
+        q = qkv[..., :H * D].reshape(B, S, H, D)
+        k = qkv[..., H * D:(H + KV) * D].reshape(B, S, KV, D)
+        v = qkv[..., (H + KV) * D:].reshape(B, S, KV, D)
+    else:
+        H = w["wq"].shape[0] // D
+        q = linear(h, w["wq"]).reshape(B, S, H, D)
+        k = linear(h, w["wk"]).reshape(B, S, KV, D)
+        v = linear(h, w["wv"]).reshape(B, S, KV, D)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin).transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
     ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, start_pos, 0))
     cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, start_pos, 0))
     att = gqa_attention(q, ck, cv, mask)
-    x = x + linear(att.reshape(B, S, H * D), w["wo"])
-    h2 = rms_norm(x, w["ffn_norm"], norm_eps)
-    x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
+    if fused:
+        from llama_nuts_and_bolts_tpu.ops import linear_t
+
+        x = x + linear_t(att.reshape(B, S, H * D), w["wo"])
+        h2 = rms_norm(x, w["ffn_norm"], norm_eps)
+        F = w["w_gate_up"].shape[1] // 2
+        gu = linear_t(h2, w["w_gate_up"])
+        act = jax.nn.silu(gu[..., :F].astype(jnp.float32)).astype(gu.dtype)
+        x = x + linear_t(act * gu[..., F:], w["w_down"])
+    else:
+        x = x + linear(att.reshape(B, S, H * D), w["wo"])
+        h2 = rms_norm(x, w["ffn_norm"], norm_eps)
+        x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
     return x, ck, cv
 
 
@@ -141,7 +161,12 @@ def narrated_forward(
 
     t0 = time.perf_counter()
     x = rms_norm(x, params.norm, cfg.norm_eps)
-    logits = linear(x, params.output, out_dtype=jnp.float32)
+    if "wqkv" in params.layers:
+        from llama_nuts_and_bolts_tpu.ops import linear_t
+
+        logits = linear_t(x, params.output, out_dtype=jnp.float32)
+    else:
+        logits = linear(x, params.output, out_dtype=jnp.float32)
     _sync(logits)
     log(f"output norm+projection: logits{tuple(logits.shape)} "
         f"took {time.perf_counter() - t0:.4f} sec(s)")

@@ -57,3 +57,26 @@ def test_device_trace_writes_files(tmp_path):
     for root, _dirs, files in os.walk(d):
         found.extend(files)
     assert found, "no trace files written"
+
+
+def test_narrated_forward_fused_layout_matches():
+    """narrated_forward on fused-layout params (the CLI's default load)
+    matches the production forward."""
+    import numpy as np
+
+    from llama_nuts_and_bolts_tpu.models.llama import (
+        forward, fuse_decode_params, init_random_params)
+    from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
+    from llama_nuts_and_bolts_tpu.runtime.profiling import narrated_forward
+
+    params = fuse_decode_params(
+        jax.jit(init_random_params, static_argnums=(0,))(CFG, jax.random.PRNGKey(2)))
+    tokens = jnp.asarray([[5, 3, 8]], dtype=jnp.int32)
+    lines = []
+    logits, cache = narrated_forward(params, CFG, tokens, 0,
+                                     KVCache.create(CFG, 1, 16),
+                                     log_fn=lines.append)
+    ref, ref_cache = forward(params, CFG, tokens, 0, KVCache.create(CFG, 1, 16))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    assert any("Transformer block layer 1 /" in ln for ln in lines)
