@@ -132,3 +132,65 @@ def test_real_checkpoint_headers(model_dir):
     assert tensors["layers.0.attention.wk.weight"].shape == (1024, 4096)
     assert tensors["norm.weight"].shape == (4096,)
     assert tensors["output.weight"].shape == (128256, 4096)
+
+
+def test_load_llama_model_end_to_end_synthetic_dir(tmp_path):
+    """Full model-dir orchestration (the CLI's load path) on a synthetic
+    Meta-format directory: tokenizer.model (tiktoken base64 ranks),
+    params.json, consolidated.00.pth — load, vocab cross-check, generate.
+    This is the only weights-free coverage of load_llama_model itself
+    (reference orchestration: src/model/loader.go:22-115)."""
+    import base64
+    import json
+
+    import torch
+
+    from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+    from llama_nuts_and_bolts_tpu.models.llama.loader import (
+        CheckpointShapeError, expected_tensor_shapes, load_llama_model)
+    from llama_nuts_and_bolts_tpu.runtime import InferenceArgs, InferenceEngine
+
+    # tokenizer.model: 260 base ranks + 256 specials = vocab 516
+    ranks = {bytes([i]): i for i in range(256)}
+    for j, tok in enumerate([b"he", b"ll", b"hell", b"hello"]):
+        ranks[tok] = 256 + j
+    lines = [base64.b64encode(t).decode() + " " + str(r) for t, r in ranks.items()]
+    (tmp_path / "tokenizer.model").write_text("\n".join(lines) + "\n")
+
+    cfg = ModelArgs(dim=32, n_layers=2, n_heads=4, n_kv_heads=2,
+                    vocab_size=len(ranks) + 256, multiple_of=16,
+                    norm_eps=1e-5, max_sequence_length=64)
+    (tmp_path / "params.json").write_text(json.dumps({
+        "dim": cfg.dim, "n_layers": cfg.n_layers, "n_heads": cfg.n_heads,
+        "n_kv_heads": cfg.n_kv_heads, "vocab_size": cfg.vocab_size,
+        "multiple_of": cfg.multiple_of, "norm_eps": cfg.norm_eps,
+    }))
+
+    torch.manual_seed(0)
+    sd = {name: (torch.randn(shape) / 8).to(torch.bfloat16)
+          for name, shape in expected_tensor_shapes(cfg).items()}
+    torch.save(sd, str(tmp_path / "consolidated.00.pth"),
+               _use_new_zipfile_serialization=True)
+
+    model = load_llama_model(str(tmp_path), max_sequence_length=48)
+    assert model.cfg.vocab_size == cfg.vocab_size
+    assert len(model.tensor_meta) == len(sd)
+
+    engine = InferenceEngine(model, InferenceArgs(sequence_length=24))
+    ids = engine.tokenize_string("hello hello")
+    out = list(engine.generate_tokens(ids))
+    assert out and all(0 <= t < cfg.vocab_size for _, t in out)
+
+    # the fused load produces the same generation
+    model_f = load_llama_model(str(tmp_path), max_sequence_length=48, fused=True)
+    engine_f = InferenceEngine(model_f, InferenceArgs(sequence_length=24))
+    assert list(engine_f.generate_tokens(ids)) == out
+
+    # vocab-size cross-check fires on mismatch
+    (tmp_path / "params.json").write_text(json.dumps({
+        "dim": cfg.dim, "n_layers": cfg.n_layers, "n_heads": cfg.n_heads,
+        "n_kv_heads": cfg.n_kv_heads, "vocab_size": 999,
+        "multiple_of": cfg.multiple_of, "norm_eps": cfg.norm_eps,
+    }))
+    with pytest.raises(CheckpointShapeError):
+        load_llama_model(str(tmp_path))
