@@ -165,7 +165,7 @@ class AppState:
         self.update_output()
         self.start_time_token = time.monotonic()
 
-    def finish_generation(self, cancelled: bool = False) -> None:
+    def finish_generation(self) -> None:
         # fold a pending emoji annotation into the text with one final
         # repaint (reference: cmd/main.go:204-209 post-loop flush)
         if self.waiting_runes_extra_str:
