@@ -27,6 +27,10 @@ class ModelArgs:
     norm_eps: float = 1e-5
     use_scaled_rope: bool = False
     rope_theta: float = 500000.0
+    # Llama-3.1 defaults; Llama-3.2 1B/3B checkpoints ship
+    # rope_scaling_factor=32 in params.json
+    rope_scale_factor: float = 8.0
+    rope_high_freq_factor: float = 4.0
     max_sequence_length: int = 2048
 
     @property
@@ -73,6 +77,7 @@ class ModelArgs:
 _JSON_FIELDS = {
     "dim", "n_layers", "n_heads", "n_kv_heads", "vocab_size", "multiple_of",
     "ffn_dim_multiplier", "norm_eps", "use_scaled_rope", "rope_theta",
+    "rope_scale_factor", "rope_high_freq_factor",
 }
 
 
@@ -80,6 +85,13 @@ def load_model_args(path: str, max_sequence_length: Optional[int] = None) -> Mod
     """Load ``params.json``, keeping reference defaults for absent keys."""
     with open(path, "r", encoding="utf-8") as f:
         raw = json.load(f)
+    # Meta's Llama-3.2 params.json spells the scaled-RoPE overrides
+    # "rope_scaling_factor" / "high_freq_factor"
+    aliases = {"rope_scaling_factor": "rope_scale_factor",
+               "high_freq_factor": "rope_high_freq_factor"}
+    for src, dst in aliases.items():
+        if src in raw and dst not in raw:
+            raw[dst] = raw[src]
     known = {k: v for k, v in raw.items() if k in _JSON_FIELDS}
     args = ModelArgs(**known)
     if max_sequence_length is not None:

@@ -195,7 +195,8 @@ def build_params_from_checkpoint(
             log.debug("loaded weight group %s", key)
 
     cos, sin = precompute_rope_tables(
-        cfg.head_dim, 2 * cfg.max_sequence_length, cfg.rope_theta, cfg.use_scaled_rope
+        cfg.head_dim, 2 * cfg.max_sequence_length, cfg.rope_theta, cfg.use_scaled_rope,
+        cfg.rope_scale_factor, cfg.rope_high_freq_factor
     )
     rope_sharding = sharding_fn("rope") if sharding_fn is not None else None
     # tied output head (Llama-3.2 1B/3B): reuse the embedding matrix — same

@@ -381,7 +381,8 @@ def init_random_params(cfg: ModelArgs, key: jax.Array,
         else:
             layers[name] = rand((L,) + shape)
     cos, sin = precompute_rope_tables(
-        cfg.head_dim, 2 * cfg.max_sequence_length, cfg.rope_theta, cfg.use_scaled_rope
+        cfg.head_dim, 2 * cfg.max_sequence_length, cfg.rope_theta, cfg.use_scaled_rope,
+        cfg.rope_scale_factor, cfg.rope_high_freq_factor
     )
     out_shape = ((cfg.dim, cfg.vocab_size) if fused
                  else (cfg.vocab_size, cfg.dim))

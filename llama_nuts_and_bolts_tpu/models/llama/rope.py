@@ -18,31 +18,34 @@ import numpy as np
 import jax.numpy as jnp
 
 
-# Llama-3.1 scaling constants (reference: src/model/llamatransformer.go:664-668)
+# Llama-3.1 scaling constants (reference: src/model/llamatransformer.go:664-668).
+# Llama-3.2 1B/3B checkpoints override scale_factor to 32 via params.json
+# ("rope_scaling_factor"); the bands and original context stay the same.
 SCALE_FACTOR = 8.0
 LOW_FREQ_FACTOR = 1.0
 HIGH_FREQ_FACTOR = 4.0
 OLD_CONTEXT_LEN = 8192.0
 
 
-def _scale_freqs(freqs: np.ndarray) -> np.ndarray:
-    """Wavelength-banded frequency rescale for long-context Llama-3.1."""
+def _scale_freqs(freqs: np.ndarray, scale_factor: float = SCALE_FACTOR,
+                 high_freq_factor: float = HIGH_FREQ_FACTOR) -> np.ndarray:
+    """Wavelength-banded frequency rescale for long-context Llama-3.1/3.2."""
     low_freq_wavelen = OLD_CONTEXT_LEN / LOW_FREQ_FACTOR
-    high_freq_wavelen = OLD_CONTEXT_LEN / HIGH_FREQ_FACTOR
+    high_freq_wavelen = OLD_CONTEXT_LEN / high_freq_factor
     wavelen = 2.0 * np.pi / freqs
     # high-frequency band (short wavelengths): untouched
-    # low-frequency band (long wavelengths): fully scaled down by SCALE_FACTOR
+    # low-frequency band (long wavelengths): fully scaled down by scale_factor
     # middle band: smooth interpolation between the two
     smooth = (OLD_CONTEXT_LEN / wavelen - LOW_FREQ_FACTOR) / (
-        HIGH_FREQ_FACTOR - LOW_FREQ_FACTOR
+        high_freq_factor - LOW_FREQ_FACTOR
     )
     scaled = np.where(
         wavelen < high_freq_wavelen,
         freqs,
         np.where(
             wavelen > low_freq_wavelen,
-            freqs / SCALE_FACTOR,
-            (1.0 - smooth) * freqs / SCALE_FACTOR + smooth * freqs,
+            freqs / scale_factor,
+            (1.0 - smooth) * freqs / scale_factor + smooth * freqs,
         ),
     )
     return scaled
@@ -53,6 +56,8 @@ def precompute_rope_tables(
     end: int,
     theta: float = 500000.0,
     use_scaled: bool = False,
+    scale_factor: float = SCALE_FACTOR,
+    high_freq_factor: float = HIGH_FREQ_FACTOR,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(cos, sin) tables of shape [end, head_dim//2], fp32, host-side.
 
@@ -62,7 +67,7 @@ def precompute_rope_tables(
     exponents = np.arange(0, head_dim, 2, dtype=np.float64)[: head_dim // 2] / head_dim
     freqs = 1.0 / (theta ** exponents)
     if use_scaled:
-        freqs = _scale_freqs(freqs)
+        freqs = _scale_freqs(freqs, scale_factor, high_freq_factor)
     t = np.arange(end, dtype=np.float64)
     angles = np.outer(t, freqs)
     return np.cos(angles).astype(np.float32), np.sin(angles).astype(np.float32)

@@ -124,7 +124,8 @@ def init_random_params_q8(cfg: ModelArgs, key: jax.Array) -> LlamaParams:
         else:
             layers[name] = rand_q((L,) + shape)
     cos, sin = precompute_rope_tables(
-        cfg.head_dim, 2 * cfg.max_sequence_length, cfg.rope_theta, cfg.use_scaled_rope)
+        cfg.head_dim, 2 * cfg.max_sequence_length, cfg.rope_theta, cfg.use_scaled_rope,
+        cfg.rope_scale_factor, cfg.rope_high_freq_factor)
     emb = (jax.random.normal(next(key_iter), (cfg.vocab_size, cfg.dim), jnp.bfloat16)
            / jnp.bfloat16(cfg.dim ** 0.5))
     return LlamaParams(

@@ -369,3 +369,37 @@ def test_loader_fused_matches_device_fused(tiny_model):
     with pytest.raises(ValueError):
         build_params_from_checkpoint(to_host_tensors(weights), TINY,
                                      fused=True, quant="int8")
+
+
+def test_rope_scale_factor_from_params_json(tmp_path):
+    """Llama-3.2 checkpoints ship rope_scaling_factor=32 in params.json;
+    absent keys keep the 3.1 constants (factor 8, high-freq 4)."""
+    import json
+
+    from llama_nuts_and_bolts_tpu.io.params import load_model_args
+
+    base = {"dim": 2048, "n_layers": 16, "n_heads": 32, "n_kv_heads": 8,
+            "vocab_size": 128256, "norm_eps": 1e-5, "rope_theta": 500000.0,
+            "use_scaled_rope": True}
+    p31 = tmp_path / "p31.json"
+    p31.write_text(json.dumps(base))
+    cfg31 = load_model_args(str(p31))
+    assert cfg31.rope_scale_factor == 8.0 and cfg31.rope_high_freq_factor == 4.0
+
+    p32 = tmp_path / "p32.json"
+    p32.write_text(json.dumps({**base, "rope_scaling_factor": 32,
+                               "high_freq_factor": 4}))
+    cfg32 = load_model_args(str(p32))
+    assert cfg32.rope_scale_factor == 32.0
+
+    # the factor actually changes the low-frequency table entries
+    c8, _ = precompute_rope_tables(64, 32, 500000.0, True, 8.0, 4.0)
+    c32, _ = precompute_rope_tables(64, 32, 500000.0, True, 32.0, 4.0)
+    assert not np.allclose(c8, c32)
+    # the high-frequency (short wavelength) entries are untouched by design
+    np.testing.assert_allclose(c8[:, 0], c32[:, 0])
+
+    # and matches the Meta formula evaluated with scale 32
+    cis = torch_oracle.precompute_freqs_cis(64, 32, 500000.0, True,
+                                            scale_factor=32.0)
+    np.testing.assert_allclose(c32, cis.real.numpy(), rtol=1e-5, atol=1e-6)

@@ -16,10 +16,9 @@ import torch
 from llama_nuts_and_bolts_tpu.io.params import ModelArgs
 
 
-def apply_scaling_torch(freqs: torch.Tensor) -> torch.Tensor:
-    scale_factor = 8.0
+def apply_scaling_torch(freqs: torch.Tensor, scale_factor: float = 8.0,
+                        high_freq_factor: float = 4.0) -> torch.Tensor:
     low_freq_factor = 1.0
-    high_freq_factor = 4.0
     old_context_len = 8192.0
     low_freq_wavelen = old_context_len / low_freq_factor
     high_freq_wavelen = old_context_len / high_freq_factor
@@ -38,10 +37,12 @@ def apply_scaling_torch(freqs: torch.Tensor) -> torch.Tensor:
     return torch.tensor(out, dtype=freqs.dtype)
 
 
-def precompute_freqs_cis(dim: int, end: int, theta: float, use_scaled: bool):
+def precompute_freqs_cis(dim: int, end: int, theta: float, use_scaled: bool,
+                         scale_factor: float = 8.0,
+                         high_freq_factor: float = 4.0):
     freqs = 1.0 / (theta ** (torch.arange(0, dim, 2)[: dim // 2].double() / dim))
     if use_scaled:
-        freqs = apply_scaling_torch(freqs)
+        freqs = apply_scaling_torch(freqs, scale_factor, high_freq_factor)
     t = torch.arange(end).double()
     freqs = torch.outer(t, freqs)
     return torch.polar(torch.ones_like(freqs), freqs)  # complex128
