@@ -85,3 +85,25 @@ def test_forward_flash_impl_matches_xla():
     decisive = (top2[..., 1] - top2[..., 0]) > 0.15
     np.testing.assert_array_equal(
         np.asarray(got).argmax(-1)[decisive], np.asarray(ref).argmax(-1)[decisive])
+
+
+def test_flash_prefill_on_fused_layout_params():
+    """The CLI's default single-chip path: fused decode-layout weights +
+    flash prefill kernel — must match the XLA path's argmax."""
+    import numpy as np
+
+    from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+    from llama_nuts_and_bolts_tpu.models.llama import (
+        forward, fuse_decode_params, init_random_params)
+    from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
+
+    cfg = ModelArgs(dim=64, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=96,
+                    multiple_of=32, norm_eps=1e-5, max_sequence_length=64)
+    params = fuse_decode_params(
+        jax.jit(init_random_params, static_argnums=(0,))(cfg, jax.random.PRNGKey(4)))
+    toks = jnp.asarray([[5, 3, 8, 2, 7, 1, 9, 6]], jnp.int32)
+    a, _ = forward(params, cfg, toks, 0, KVCache.create(cfg, 1, 32))
+    b, _ = forward(params, cfg, toks, 0, KVCache.create(cfg, 1, 32),
+                   attn_impl="flash")
+    np.testing.assert_array_equal(np.asarray(a).argmax(-1),
+                                  np.asarray(b).argmax(-1))
