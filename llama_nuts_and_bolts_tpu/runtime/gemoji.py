@@ -1342,6 +1342,67 @@ _OTHER_ZWJ = [
     ("1F441+FE0F+200D+1F5E8+FE0F", "eye_in_speech_bubble"),
 ]
 
+# Skin-tone modifiers U+1F3FB..U+1F3FF. CLDR names a toned form
+# "<base name>: <tone> skin tone"; the gemoji/enescakir alias scheme renders
+# that as "<base_alias>_<tone>_skin_tone" (reference map construction:
+# src/inference/emoji.go:27-40 over the full enescakir/emoji map, which
+# includes every RGI tone variant). The RGI toned sequence is the base
+# codepoint followed directly by the modifier — any FE0F of the untoned RGI
+# form is dropped (UTS #51 §2.4).
+_TONES = [
+    ("\U0001F3FB", "light_skin_tone"),
+    ("\U0001F3FC", "medium_light_skin_tone"),
+    ("\U0001F3FD", "medium_skin_tone"),
+    ("\U0001F3FE", "medium_dark_skin_tone"),
+    ("\U0001F3FF", "dark_skin_tone"),
+]
+
+# Emoji_Modifier_Base codepoints (Unicode emoji-data.txt); inclusive ranges.
+_EMB_RANGES = [
+    (0x261D, 0x261D), (0x26F9, 0x26F9), (0x270A, 0x270D), (0x1F385, 0x1F385),
+    (0x1F3C2, 0x1F3C4), (0x1F3C7, 0x1F3C7), (0x1F3CA, 0x1F3CC),
+    (0x1F442, 0x1F443), (0x1F446, 0x1F450), (0x1F466, 0x1F469),
+    (0x1F46B, 0x1F46E), (0x1F470, 0x1F478),  # excl. family & bunny ears
+    (0x1F47C, 0x1F47C), (0x1F481, 0x1F483), (0x1F485, 0x1F487),
+    (0x1F48F, 0x1F48F), (0x1F491, 0x1F491), (0x1F4AA, 0x1F4AA),
+    (0x1F574, 0x1F575), (0x1F57A, 0x1F57A), (0x1F590, 0x1F590),
+    (0x1F595, 0x1F596), (0x1F645, 0x1F647), (0x1F64B, 0x1F64F),
+    (0x1F6A3, 0x1F6A3), (0x1F6B4, 0x1F6B6), (0x1F6C0, 0x1F6C0),
+    (0x1F6CC, 0x1F6CC), (0x1F90C, 0x1F90C), (0x1F90F, 0x1F90F),
+    (0x1F918, 0x1F91F), (0x1F926, 0x1F926), (0x1F930, 0x1F939),
+    (0x1F93D, 0x1F93E), (0x1F977, 0x1F977), (0x1F9B5, 0x1F9B6),
+    (0x1F9B8, 0x1F9B9), (0x1F9BB, 0x1F9BB), (0x1F9CD, 0x1F9CF),
+    (0x1F9D1, 0x1F9DD), (0x1FAC3, 0x1FAC5), (0x1FAF0, 0x1FAF8),
+]
+
+
+def _is_modifier_base(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _EMB_RANGES)
+
+
+# Keycap sequences: X + FE0F + U+20E3 COMBINING ENCLOSING KEYCAP. CLDR names
+# them "keycap: X"; keycap_10 (U+1F51F) already lives in _SINGLES. The '#'
+# and '*' aliases spell out the rune name (see PARITY.md — exact enescakir
+# strings unverifiable offline).
+_KEYCAPS = [
+    ("#", "keycap_number_sign"), ("*", "keycap_asterisk"),
+    ("0", "keycap_0"), ("1", "keycap_1"), ("2", "keycap_2"),
+    ("3", "keycap_3"), ("4", "keycap_4"), ("5", "keycap_5"),
+    ("6", "keycap_6"), ("7", "keycap_7"), ("8", "keycap_8"),
+    ("9", "keycap_9"),
+]
+
+# Mixed-tone holding-hands ZWJ sequences (RGI since Emoji 12.0): the pair
+# alias, the left and right person codepoints, joined by ZWJ + 1F91D
+# (handshake) + ZWJ. Uniform tones use the single base + modifier and are
+# generated by the _SINGLES tone loop.
+_HOLDING_HANDS = [
+    ("women_holding_hands", "\U0001F469", "\U0001F469"),
+    ("woman_and_man_holding_hands", "\U0001F469", "\U0001F468"),
+    ("men_holding_hands", "\U0001F468", "\U0001F468"),
+]
+
 # Tag-sequence subdivision flags (England/Scotland/Wales)
 _TAG_FLAGS = [
     ("gbeng", "flag_for_england"),
@@ -1635,19 +1696,52 @@ def alias_table() -> Dict[str, str]:
     t: Dict[str, str] = {}
     for line in _SINGLES.strip().splitlines():
         spec, alias = line.split()
-        _insert(t, _cps(spec), alias)
+        emoji = _cps(spec)
+        _insert(t, emoji, alias)
+        # RGI tone variants: base + modifier, FE0F (if any) dropped
+        base = emoji.rstrip(_VS16)
+        if len(base) == 1 and _is_modifier_base(base):
+            for tone, tone_alias in _TONES:
+                _insert(t, base + tone, f"{alias}_{tone_alias}")
     for base_spec, man_alias, woman_alias in _GENDERED:
         base = _cps(base_spec)
         _insert(t, base + _ZWJ + _MALE, man_alias)
         _insert(t, base + _ZWJ + _FEMALE, woman_alias)
+        bare = base.rstrip(_VS16)
+        if len(bare) == 1 and _is_modifier_base(bare):
+            for tone, tone_alias in _TONES:
+                _insert(t, bare + tone + _ZWJ + _MALE,
+                        f"{man_alias}_{tone_alias}")
+                _insert(t, bare + tone + _ZWJ + _FEMALE,
+                        f"{woman_alias}_{tone_alias}")
     for obj_spec, role in _PROFESSIONS:
         obj = _cps(obj_spec)
         _insert(t, "\U0001F468" + _ZWJ + obj, "man_" + role)
         _insert(t, "\U0001F469" + _ZWJ + obj, "woman_" + role)
+        for tone, tone_alias in _TONES:
+            _insert(t, "\U0001F468" + tone + _ZWJ + obj,
+                    f"man_{role}_{tone_alias}")
+            _insert(t, "\U0001F469" + tone + _ZWJ + obj,
+                    f"woman_{role}_{tone_alias}")
     for hair_spec, hair in _HAIR:
         h = _cps(hair_spec)
         _insert(t, "\U0001F468" + _ZWJ + h, "man_" + hair)
         _insert(t, "\U0001F469" + _ZWJ + h, "woman_" + hair)
+        for tone, tone_alias in _TONES:
+            _insert(t, "\U0001F468" + tone + _ZWJ + h,
+                    f"man_{hair}_{tone_alias}")
+            _insert(t, "\U0001F469" + tone + _ZWJ + h,
+                    f"woman_{hair}_{tone_alias}")
+    for pair_alias, left, right in _HOLDING_HANDS:
+        for ltone, ltone_alias in _TONES:
+            for rtone, rtone_alias in _TONES:
+                if ltone == rtone:
+                    continue  # uniform tone is the single base + modifier
+                seq = (left + ltone + _ZWJ + "\U0001F91D" + _ZWJ
+                       + right + rtone)
+                _insert(t, seq, f"{pair_alias}_{ltone_alias}_{rtone_alias}")
+    for ch, alias in _KEYCAPS:
+        _insert(t, ch + _VS16 + "\u20E3", alias)
     for parent_alias, parents in _PARENT_COMBOS:
         for child_alias, children in _CHILD_COMBOS:
             seq = _ZWJ.join(_cps(c) for c in parents + children)
