@@ -196,3 +196,84 @@ def test_predefined_prompt_goldens(model_dir):
         assert act["prompt_tokens"] == exp["prompt_tokens"], exp["index"]
         assert act["generated"] == exp["generated"], (
             f"prompt {exp['index']} diverged: {act['text']!r} vs {exp['text']!r}")
+
+
+def _validate_against_schema(data, schema, path="$"):
+    """Minimal JSON-Schema (draft-07 subset) validator — the jsonschema
+    package isn't in this environment; covers type/required/items/enum/
+    min-max bounds, which is everything predefined_prompts.schema.json uses."""
+    t = schema.get("type")
+    type_map = {"object": dict, "array": list, "string": str,
+                "integer": int, "boolean": bool}
+    if t is not None:
+        assert isinstance(data, type_map[t]), f"{path}: expected {t}"
+        if t == "integer":
+            assert not isinstance(data, bool), f"{path}: bool is not integer"
+    if "enum" in schema:
+        assert data in schema["enum"], f"{path}: {data!r} not in enum"
+    if t == "integer":
+        if "minimum" in schema:
+            assert data >= schema["minimum"], f"{path}: below minimum"
+        if "maximum" in schema:
+            assert data <= schema["maximum"], f"{path}: above maximum"
+    if t == "object":
+        for key in schema.get("required", []):
+            assert key in data, f"{path}: missing required {key!r}"
+        for key, sub in schema.get("properties", {}).items():
+            if key in data:
+                _validate_against_schema(data[key], sub, f"{path}.{key}")
+    if t == "array":
+        if "minItems" in schema:
+            assert len(data) >= schema["minItems"], f"{path}: too few items"
+        if "maxItems" in schema:
+            assert len(data) <= schema["maxItems"], f"{path}: too many items"
+        for i, item in enumerate(data):
+            _validate_against_schema(item, schema.get("items", {}),
+                                     f"{path}[{i}]")
+
+
+def test_goldens_schema():
+    """The golden-sequence machinery is always validated, weights or not:
+    the checked-in schema parses, and capture_parity's OUTPUT SHAPE (driven
+    on the tiny synthetic model) conforms to it, so a recorded goldens file
+    is guaranteed consumable by test_predefined_prompt_goldens."""
+    import json
+    import sys
+
+    schema_path = os.path.join(os.path.dirname(__file__), "goldens",
+                               "predefined_prompts.schema.json")
+    with open(schema_path) as f:
+        schema = json.load(f)
+    assert schema["required"] == ["model_dir", "seq_len", "prompts"]
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from capture_parity import capture_with_engine, prompt_tokens
+
+    from llama_nuts_and_bolts_tpu.cli.main import PREDEFINED_PROMPTS
+    from llama_nuts_and_bolts_tpu.models.llama import init_random_params
+    from llama_nuts_and_bolts_tpu.models.llama.loader import LoadedModel
+    from llama_nuts_and_bolts_tpu.runtime import InferenceArgs, InferenceEngine
+    from tests.test_streaming import RANKS, TINY, VOCAB
+
+    # size the tiny context to the longest predefined prompt (+ a short tail
+    # so each capture ends quickly by hitting the sequence cap)
+    sizing = InferenceEngine(
+        LoadedModel(params=None, cfg=TINY, vocab=VOCAB,
+                    mergeable_ranks=RANKS, tensor_meta={}),
+        InferenceArgs(sequence_length=16))
+    need = max(len(prompt_tokens(sizing, p)) for p in PREDEFINED_PROMPTS) + 6
+    cfg = TINY.with_(max_sequence_length=need)
+    params = jax.jit(init_random_params, static_argnums=(0,))(
+        cfg, jax.random.PRNGKey(0))
+    engine = InferenceEngine(
+        LoadedModel(params=params, cfg=cfg, vocab=VOCAB,
+                    mergeable_ranks=RANKS, tensor_meta={}),
+        InferenceArgs(sequence_length=need))
+    out = capture_with_engine(engine, label="tiny")
+    _validate_against_schema(out, schema)
+
+    goldens_path = os.path.join(os.path.dirname(__file__), "goldens",
+                                "predefined_prompts.json")
+    if os.path.exists(goldens_path):   # a recorded file must conform too
+        with open(goldens_path) as f:
+            _validate_against_schema(json.load(f), schema)
