@@ -88,6 +88,17 @@ def parse_args(argv=None):
                    help="process prompts longer than C tokens in C-token "
                         "chunks (bounds prefill memory at long context and "
                         "compiles one chunk executable; 0 disables)")
+    p.add_argument("--attn-impl", choices=["auto", "xla", "flash", "probe"],
+                   default="auto",
+                   help="attention implementation: auto (build-time rules), "
+                        "xla, flash (Pallas kernels), or probe (one-shot "
+                        "micro-benchmark of each viable impl at the active "
+                        "config; keeps the measured winner for decode)")
+    p.add_argument("--decode-chunk", type=int, default=0, metavar="K",
+                   help="greedy streaming decodes K tokens per device "
+                        "dispatch (on-device scan, identical transcript); "
+                        "0 = auto: 8 on RPC-attached TPUs, per-token on "
+                        "host-attached devices")
     p.add_argument("--tp", type=int, default=0, metavar="N",
                    help="tensor parallelism: shard the model over N devices "
                         "(Megatron column/row sharding, one psum per "
@@ -320,7 +331,9 @@ def main(argv=None) -> int:
         InferenceArgs(sequence_length=args.seq_len, temperature=args.temperature,
                       top_k=args.top_k, top_p=args.top_p,
                       speculate_k=args.speculate, kv_cache_dtype=args.kv_cache,
-                      prefill_chunk=args.prefill_chunk),
+                      prefill_chunk=args.prefill_chunk,
+                      attn_impl=args.attn_impl,
+                      decode_chunk=args.decode_chunk),
         log_fn=live_log,
         draft_model=draft,
         mesh=mesh,

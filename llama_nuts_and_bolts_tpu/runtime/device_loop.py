@@ -1,11 +1,13 @@
 """On-device multi-token generation: the whole decode loop inside one jit.
 
-The streaming paths (CLI/SSE) need a token per host round-trip; everything
-else — non-streaming serving, batch jobs, benchmarking — wants the loop ON
-the device: a ``lax.while_loop`` that decodes until a stop token or the token
+Non-streaming serving, batch jobs, and benchmarking want the loop ON the
+device: a ``lax.while_loop`` that decodes until a stop token or the token
 budget, with the KV cache threaded in place. One dispatch, one transfer of
 the finished token block. (Through an RPC-attached TPU this is the difference
-between ~30 ms/token of dispatch overhead and none at all.)
+between ~30 ms/token of dispatch overhead and none at all.) The STREAMING
+paths (CLI/SSE) close the same gap with fixed-k chunked scans —
+``InferenceArgs.decode_chunk`` / ``InferenceEngine._decode_chunk`` — which
+keep per-token replay to the detokenizer while dispatching 1/k as often.
 """
 
 from __future__ import annotations

@@ -83,6 +83,10 @@ class InferenceEngine:
         self._rng = jax.random.PRNGKey(self.args.seed)
         # prefix cache: token-tuple -> KVCache snapshot (see cache_prefix)
         self._prefix_cache: Dict[tuple, KVCache] = {}
+        # attn_impl="probe": winner of the one-shot decode micro-benchmark
+        self._probed_decode_impl: Optional[str] = None
+        # decode-chunk executables keyed by chunk length (see _decode_chunk)
+        self._chunk_fns: Dict[int, object] = {}
 
     # ------------------------------------------------------------ tokenize
 
@@ -117,24 +121,75 @@ class InferenceEngine:
             cache = shard_cache(cache, self.mesh)
         return cache
 
-    def _attn_impl(self, seq_len: int) -> str:
-        """Pallas kernels on TPU where they pay: flash prefill for bf16
-        caches (decode's S=1 tiles are too small to beat XLA there), and the
-        flash-DECODE kernel for int8 caches (XLA cannot fuse the dequantize
-        into its einsum — it materializes the bf16 cache every step)."""
-        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+    def _kernels_viable(self) -> bool:
         aligned = self.model.cfg.head_dim % 128 == 0
         if self.mesh is not None:
             # the shard_map kernel wrappers keep whole GQA groups per shard
             tp = self.mesh.shape.get("tp", 1)
             aligned = aligned and self.model.cfg.kv_heads % tp == 0
+        return aligned
+
+    def _attn_impl(self, seq_len: int) -> str:
+        """Pallas kernels on TPU where they pay: flash prefill for bf16
+        caches (decode's S=1 tiles are too small to beat XLA there), and the
+        flash-DECODE kernel for int8 caches (XLA cannot fuse the dequantize
+        into its einsum — it materializes the bf16 cache every step).
+        ``attn_impl="probe"`` replaces these build-time rules for the DECODE
+        step with a one-shot measurement at the active config
+        (autotune_attn_impl)."""
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        aligned = self._kernels_viable()
+        if seq_len == 1 and self.args.attn_impl == "probe":
+            if self._probed_decode_impl is None:
+                self.autotune_attn_impl()
+            return self._probed_decode_impl
         if self.args.kv_cache_dtype == "int8":
             return "flash" if (seq_len == 1 and on_tpu and aligned) else "xla"
-        if self.args.attn_impl != "auto":
+        if self.args.attn_impl not in ("auto", "probe"):
             return self.args.attn_impl
         if seq_len > 1 and on_tpu and aligned:
             return "flash"
         return "xla"
+
+    def autotune_attn_impl(self, iters: int = 5) -> str:
+        """One-shot decode-impl micro-probe: time ``iters`` single-token
+        decode steps per viable impl at the ACTIVE config (context length,
+        cache dtype, mesh) and keep the fastest, so the choice tracks the
+        deployment instead of build-time assumptions. Costs one extra decode
+        compile per candidate; result is cached for the engine's lifetime
+        in ``self._probed_decode_impl`` (also returned)."""
+        import time
+
+        candidates = ["xla"]
+        if self._kernels_viable():
+            candidates.append("flash")
+        timings: Dict[str, float] = {}
+        # probe mid-cache: attention cost at seq_len/2 is representative of
+        # a typical decode step; position 0 would flatter short-context impls
+        pos = max(1, (self.seq_len - 2) // 2)
+        step = jnp.zeros((1, 1), dtype=jnp.int32)
+        for impl in candidates:
+            cache = self.new_cache(1)
+            logits, cache = self._fwd(self.model.params, self.model.cfg, step,
+                                      pos, cache, attn_impl=impl,
+                                      mesh=self.mesh)  # compile + warm
+            np.asarray(logits[0, 0, :1])
+            best = float("inf")
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                logits, cache = self._fwd(self.model.params, self.model.cfg,
+                                          step, pos, cache, attn_impl=impl,
+                                          mesh=self.mesh)
+                np.asarray(logits[0, 0, :1])
+                best = min(best, time.perf_counter() - t0)
+            timings[impl] = best
+        self._probed_decode_impl = min(timings, key=timings.get)
+        self._probe_timings = timings
+        self.log("attn-impl probe at seq_len=%d kv=%s: %s -> chose %r",
+                 self.seq_len, self.args.kv_cache_dtype,
+                 {k: f"{v * 1e3:.2f}ms" for k, v in timings.items()},
+                 self._probed_decode_impl)
+        return self._probed_decode_impl
 
     # ------------------------------------------------------------- decode
 
@@ -237,10 +292,50 @@ class InferenceEngine:
         self.log("Running prefill: prompt_len=%d", prompt_len)
         return self._run_prefill(list(prompt_tokens), self.new_cache(1), 0)
 
+    def _decode_chunk_size(self) -> int:
+        """Resolve args.decode_chunk: 0 = auto (amortize dispatches only on
+        RPC-attached devices, where each costs a network round-trip —
+        runtime/device_loop.py:1-9; host-attached stays per-token)."""
+        if self.args.decode_chunk:
+            return max(1, self.args.decode_chunk)
+        return 8 if jax.devices()[0].platform == "axon" else 1
+
+    def _decode_chunk(self, k: int):
+        """Jitted k-step greedy decode: one dispatch yields k tokens via an
+        on-device lax.scan (same per-step program as the single-token path)."""
+        if k not in self._chunk_fns:
+            from jax import lax
+
+            cfg = self.model.cfg
+            impl = self._attn_impl(1)
+            mesh = self.mesh
+
+            def chunk(params, tok, pos, cache):
+                def body(carry, _):
+                    tok, pos, cache = carry
+                    logits, cache = forward(params, cfg, tok, pos, cache,
+                                            attn_impl=impl, mesh=mesh)
+                    nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                    return (nxt, pos + 1, cache), nxt[0, 0]
+
+                (tok, pos, cache), toks = lax.scan(
+                    body, (tok, pos, cache), None, length=k)
+                return toks, cache
+
+            self._chunk_fns[k] = jax.jit(chunk, donate_argnums=(3,))
+        return self._chunk_fns[k]
+
     def generate_tokens(
         self, prompt_tokens: Sequence[int]
     ) -> Iterator[Tuple[GenerationState, int]]:
-        """Greedy/sampled autoregressive generation, one token per yield."""
+        """Greedy/sampled autoregressive generation, one token per yield.
+
+        Greedy streaming decodes in on-device chunks of k steps per dispatch
+        (``args.decode_chunk``; exact same token sequence — the scan body IS
+        the single-step program) and replays each chunk's tokens one at a
+        time, so detokenizer waiting-bytes state and console semantics are
+        untouched. Sampling and the seq-len tail run per-token.
+        """
         if self.args.speculate_k > 0 and self.args.temperature == 0.0:
             yield from self._generate_tokens_speculative(prompt_tokens)
             return
@@ -250,6 +345,7 @@ class InferenceEngine:
         logits, cache = self._prefill(prompt_tokens)
         next_token = self._select_token(logits[0, 0])
 
+        chunk_k = self._decode_chunk_size() if self.args.temperature == 0.0 else 1
         cur_pos = prompt_len
         while True:
             if vocab.is_stop(next_token):
@@ -259,6 +355,31 @@ class InferenceEngine:
                 yield GenerationState.FINISHED_BY_REACHING_SEQ_LEN, next_token
                 return
             yield GenerationState.IN_PROGRESS, next_token
+
+            if chunk_k > 1 and cur_pos + chunk_k < self.seq_len:
+                # one dispatch, k tokens; feed them out one at a time.
+                # a stop token mid-chunk simply ends the replay — the extra
+                # scanned positions are never read again.
+                step = jnp.asarray([[next_token]], dtype=jnp.int32)
+                toks, cache = self._decode_chunk(chunk_k)(
+                    self.model.params, step, cur_pos, cache)
+                chunk_tokens = np.asarray(toks).tolist()
+                cur_pos += 1
+                for i, tok in enumerate(chunk_tokens):
+                    next_token = int(tok)
+                    if i + 1 == len(chunk_tokens):
+                        break  # loop head handles the last one
+                    if vocab.is_stop(next_token):
+                        yield GenerationState.FINISHED_BY_REACHING_EOS, next_token
+                        return
+                    if cur_pos + 1 >= self.seq_len:
+                        yield (GenerationState.FINISHED_BY_REACHING_SEQ_LEN,
+                               next_token)
+                        return
+                    yield GenerationState.IN_PROGRESS, next_token
+                    cur_pos += 1
+                continue
+
             step = jnp.asarray([[next_token]], dtype=jnp.int32)
             logits, cache = self._fwd(self.model.params, cfg, step, cur_pos,
                                       cache, attn_impl=self._attn_impl(1),

@@ -60,7 +60,16 @@ class InferenceArgs:
     top_k: int = 0
     top_p: float = 1.0
     seed: int = 0
-    attn_impl: str = "auto"  # "auto" | "xla" | "flash" (Pallas fused kernel)
+    # "auto" | "xla" | "flash" (Pallas fused kernel) | "probe" (one-shot
+    # micro-benchmark at first decode: time a step per viable impl at the
+    # active config — context length, cache dtype, mesh — and keep the winner)
+    attn_impl: str = "auto"
+    # interactive decode chunking: run k greedy steps per device dispatch in
+    # an on-device lax.scan, replaying the k tokens through the detokenizer
+    # one at a time (identical transcripts). Amortizes the per-dispatch
+    # round-trip (~25-50 ms on an RPC-attached TPU, runtime/device_loop.py).
+    # 0 = auto: 8 on RPC-attached devices, 1 (per-token) on host-attached.
+    decode_chunk: int = 0
     # n-gram prompt-lookup speculative decoding: verify up to k drafts per
     # step (greedy only — exact-equivalence; 0 disables)
     speculate_k: int = 0

@@ -39,6 +39,13 @@ def main(argv=None) -> int:
     p.add_argument("--prefill-chunk", type=int, default=0, metavar="C",
                    help="chunked prefill: prompts longer than C tokens run in "
                         "C-token chunks (bounds memory; 0 disables)")
+    p.add_argument("--attn-impl", choices=["auto", "xla", "flash", "probe"],
+                   default="auto",
+                   help="attention impl: build-time rules (auto), forced, or "
+                        "a one-shot measured probe at the active config")
+    p.add_argument("--decode-chunk", type=int, default=0, metavar="K",
+                   help="greedy streaming decodes K tokens per dispatch "
+                        "(0 = auto: 8 on RPC-attached TPUs, else per-token)")
     p.add_argument("--cache-system-prompt", default=None, metavar="TEXT",
                    help="prefill TEXT's system-prompt block once at startup "
                         "and snapshot its KV state; chat requests whose first "
@@ -101,7 +108,9 @@ def main(argv=None) -> int:
     engine = InferenceEngine(model, InferenceArgs(sequence_length=args.seq_len,
                                                   speculate_k=args.speculate,
                                                   kv_cache_dtype=args.kv_cache,
-                                                  prefill_chunk=args.prefill_chunk),
+                                                  prefill_chunk=args.prefill_chunk,
+                                                  attn_impl=args.attn_impl,
+                                                  decode_chunk=args.decode_chunk),
                              draft_model=draft, mesh=mesh)
     if args.cache_system_prompt and not args.continuous:
         from llama_nuts_and_bolts_tpu.tokenizer import PromptPart, render_prefix_tokens

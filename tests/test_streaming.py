@@ -339,3 +339,85 @@ def test_segmentation_prefers_longest_table_key():
     assert segment_emoji(fam) == [fam]
     partial = "\U0001F468‍\U0001F469"       # man ZWJ woman: not a key
     assert segment_emoji(partial) == ["\U0001F468", "‍", "\U0001F469"]
+
+
+# ------------------------------------------------------- chunked decode
+
+
+def test_chunked_decode_matches_per_token():
+    """decode_chunk=k must produce the identical (state, token) stream as the
+    per-token path — the scan body IS the single-step program."""
+    prompt = [1, 5, 9]
+    ref = list(make_engine(sequence_length=24, decode_chunk=1)
+               .generate_tokens(prompt))
+    for k in (2, 4, 7):
+        out = list(make_engine(sequence_length=24, decode_chunk=k)
+                   .generate_tokens(prompt))
+        assert out == ref, f"chunk={k} diverged"
+
+
+def test_chunked_decode_seq_len_tail():
+    """Termination by sequence length must be exact with chunking: the tail
+    that doesn't fit a whole chunk falls back to per-token steps."""
+    for k in (3, 4, 16):
+        eng1 = make_engine(sequence_length=12, decode_chunk=1)
+        engk = make_engine(sequence_length=12, decode_chunk=k)
+        prompt = [2, 4]
+        assert list(engk.generate_tokens(prompt)) == \
+            list(eng1.generate_tokens(prompt))
+
+
+def test_chunked_decode_string_transcript_identical():
+    prompt = [1, 5, 9]
+    p1 = [(p.decoded_string, p.generation_state) for p in
+          make_engine(sequence_length=24, decode_chunk=1).generate_string(prompt)]
+    p4 = [(p.decoded_string, p.generation_state) for p in
+          make_engine(sequence_length=24, decode_chunk=4).generate_string(prompt)]
+    assert p4 == p1
+
+
+def test_chunked_decode_dispatch_count():
+    """The point of chunking: ~1/k device dispatches on the decode path."""
+    calls = {"n": 0}
+    eng = make_engine(sequence_length=24, decode_chunk=4)
+    real = eng._decode_chunk(4)
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    eng._chunk_fns[4] = counting
+    out = list(eng.generate_tokens([1, 5, 9]))
+    n_decoded = len(out)
+    assert calls["n"] <= (n_decoded // 4) + 2
+
+
+def test_sampling_ignores_decode_chunk():
+    """Sampled decode stays per-token (RNG consumption must be per-step)."""
+    eng = make_engine(sequence_length=16, temperature=0.8, decode_chunk=8)
+    out = list(eng.generate_tokens([1, 2]))
+    assert out and all(0 <= t < VOCAB.size for _, t in out)
+
+
+# ------------------------------------------------------- attn-impl probe
+
+
+def test_attn_impl_probe_picks_measured_fastest():
+    eng = make_engine(sequence_length=24, attn_impl="probe")
+    chosen = eng.autotune_attn_impl(iters=2)
+    assert chosen == min(eng._probe_timings, key=eng._probe_timings.get)
+    assert eng._attn_impl(1) == chosen
+    # prefill impl still follows the auto rules, not the decode probe
+    assert eng._attn_impl(16) in ("xla", "flash")
+    # generation works end-to-end in probe mode and stays deterministic
+    ref = list(make_engine(sequence_length=24).generate_tokens([1, 5, 9]))
+    assert list(eng.generate_tokens([1, 5, 9])) == ref
+
+
+def test_attn_impl_probe_is_one_shot():
+    eng = make_engine(sequence_length=24, attn_impl="probe")
+    eng._attn_impl(1)
+    first = eng._probed_decode_impl
+    assert first is not None
+    eng._probe_timings = None  # autotune would crash if re-entered
+    assert eng._attn_impl(1) == first
