@@ -129,8 +129,20 @@ class LlamaHTTPServer:
         # strip the stop token from the rendered text like the streaming path
         if finish == "stop":
             ids = ids[:-1]
-        _pieces, text = self.engine.token_batch_to_string(ids)
-        return text, finish, len(ids)
+        return self._render_block(ids), finish, len(ids)
+
+    def _render_block(self, ids) -> str:
+        """Render a finished token block with STREAM-IDENTICAL semantics:
+        replay through the same decoding state machine the SSE path uses, so
+        trailing incomplete byte-fallback tokens flush as literal <0xNN>
+        text (reference: src/inference/inference.go:134-156) in both modes.
+        (The reference's TokenBatchToString drops them, tokenize.go:241-259
+        — fine for a TUI's prompt echo, but an API's stream=true/false must
+        return byte-identical content; found by tests/test_serving_soak.py.)"""
+        return "".join(
+            p.decoded_string
+            for p in self.engine.generate_string_from_output_tokens(ids)
+            if not p.added_to_waiting)
 
     def generate_block_with_logprobs(self, tokens, max_tokens: int,
                                      temperature: float, top_k: int,
@@ -157,8 +169,7 @@ class LlamaHTTPServer:
         entries = list(req.logprobs)
         if finish == "stop":
             ids, entries = ids[:-1], entries[:-1]
-        _pieces, text = self.engine.token_batch_to_string(ids)
-        return text, finish, ids, entries
+        return self._render_block(ids), finish, ids, entries
 
     def render_token(self, token_id: int) -> str:
         """Single-token text for logprobs fields: UTF-8 when the piece decodes
@@ -226,18 +237,24 @@ class LlamaHTTPServer:
 
                 self.engine._rng = _jax.random.PRNGKey(int(seed))
             try:
-                produced = 0
-                for part in self.engine.generate_string(tokens):
-                    # count TOKENS (a byte-fallback token that only joins the
-                    # waiting buffer still consumed a decode step and must
-                    # count toward max_tokens)
-                    if not part.is_resend_of_waiting:
-                        produced += 1
-                    stats["tokens"] = produced
-                    if part.added_to_waiting:
-                        if produced >= max_tokens:
-                            yield "", "length"
+                def limited():
+                    # cap at the TOKEN level (a byte-fallback token that only
+                    # joins the waiting buffer still consumed a decode step
+                    # and counts toward max_tokens); ending the token stream
+                    # here lets _generate_string flush pending incomplete
+                    # bytes as <0xNN> literals, exactly like the batcher
+                    # stream and the block path (_render_block) do
+                    n = 0
+                    for state, tok in self.engine.generate_tokens(tokens):
+                        n += 1
+                        stats["tokens"] = n
+                        yield state, tok
+                        if (n >= max_tokens
+                                or state != GenerationState.IN_PROGRESS):
                             return
+
+                for part in self.engine._generate_string(limited()):
+                    if part.added_to_waiting:
                         continue
                     finish = None
                     if part.generation_state == GenerationState.FINISHED_BY_REACHING_EOS:
@@ -248,10 +265,10 @@ class LlamaHTTPServer:
                     if finish == "stop" and self.engine.model.vocab.is_stop(part.token_id):
                         text = ""  # don't surface the stop token's piece
                     yield text, finish
-                    if finish is not None or produced >= max_tokens:
-                        if finish is None:
-                            yield "", "length"
+                    if finish is not None:
                         return
+                yield "", "length"
+                return
             finally:
                 args.temperature, args.top_k, args.top_p = old
                 if seed is not None:
