@@ -1,10 +1,24 @@
-"""Decode-throughput benchmark on the attached TPU chip.
+"""Decode-throughput benchmark on the attached TPU chip — deadline-proof.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
-is measured greedy-decode tokens/sec/chip on the Llama-3.1 architecture (bf16,
-batch 1, on-device lax.scan decode loop) and vs_baseline is the fraction of
-the HBM-bandwidth roofline achieved (the reference publishes no speed numbers
-— BASELINE.md's success bar is roofline-bound tokens/sec/chip).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}
+where value is measured greedy-decode tokens/sec/chip on the Llama-3.1
+architecture (bf16, batch 1, on-device lax.scan decode loop) and vs_baseline
+is the fraction of the HBM-bandwidth roofline achieved (the reference
+publishes no speed numbers — BASELINE.md's success bar is roofline-bound
+tokens/sec/chip; the hot loops measured here replace the reference's
+goroutine GEMM fan-out, src/ml/operations_lineartransform.go:37-207).
+
+Architecture (round-3 rework after r02's null capture): a parent process
+that never imports JAX orchestrates measurement *stages* as subprocesses:
+
+  - each stage writes a full RESULTS snapshot as one JSON line to its out
+    file after EVERY section it measures, so a stage killed mid-flight still
+    contributes everything it finished;
+  - each stage has its own wall-clock budget; a stage that hangs (tunnel
+    congestion, pathological compile) is killed and the rest proceed;
+  - if the headline stage dies without a number, a smaller fallback config
+    is tried in a fresh process;
+  - the parent's own hard deadline always emits the JSON line.
 
 The 8B checkpoint (16.06 GB bf16) does not fit a single v5e chip's HBM, so
 layer depth is auto-scaled to the largest that fits; the metric name carries
@@ -15,31 +29,180 @@ step cost and roofline fraction transfer directly.
 import json
 import os
 import signal
+import subprocess
 import sys
+import tempfile
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-from jax import lax
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from llama_nuts_and_bolts_tpu.utils.compile_cache import enable_persistent_cache
-
-enable_persistent_cache()
-
-from llama_nuts_and_bolts_tpu.io.params import ModelArgs
-from llama_nuts_and_bolts_tpu.models.llama import forward, init_random_params
-from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
-
+REPO = os.path.dirname(os.path.abspath(__file__))
 V5E_HBM_BYTES_PER_S = 819e9  # public v5e HBM bandwidth
 SEQ_CAP = 200                # the reference CLI's sequence length
 PREFILL_LEN = 16
-DECODE_STEPS = 180   # with PREFILL_LEN 16: 16 + 180 + pad < SEQ_CAP 200
+TOTAL_BUDGET_S = int(os.environ.get("LNB_BENCH_BUDGET_S", "520"))
+# tiny CPU config for exercising the parent/stage/snapshot mechanics in tests
+TINY_MODE = bool(os.environ.get("LNB_BENCH_TINY"))
+
+# ------------------------------------------------------------------- parent
 
 
-def param_bytes(cfg: ModelArgs) -> int:
+def _emit(results: dict) -> None:
+    print(json.dumps({
+        "metric": results.get(
+            "metric", "decode_tokens_per_sec_per_chip_llama31_bf16_b1"),
+        "value": results.get("value"),
+        "unit": "tokens/s",
+        "vs_baseline": results.get("vs_baseline"),
+        "detail": results.get("detail", {}),
+    }), flush=True)
+
+
+def _read_snapshot(path: str) -> dict:
+    """Last parseable JSON line of a stage's out file (may be mid-write)."""
+    best = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    best = json.loads(line)
+                except ValueError:
+                    pass
+    except OSError:
+        pass
+    return best
+
+
+def _merge(results: dict, snap: dict) -> None:
+    if not snap:
+        return
+    detail = results.setdefault("detail", {})
+    detail.update(snap.get("detail", {}))
+    for k in ("metric", "value", "vs_baseline"):
+        if snap.get(k) is not None:
+            results[k] = snap[k]
+
+
+def _run_stage(stage: str, budget_s: float, results: dict,
+               hard_cap_s: float | None = None) -> None:
+    """Run one measurement stage as a subprocess under its own deadline.
+
+    The first device RPC of a fresh process can stall for MINUTES while the
+    tunnel's queue drains — and that cost is per-process, so killing a stage
+    that has not yet reached the device only re-pays the stall in the next
+    one. Hence two deadlines: at ``budget_s``, a stage that has measured
+    nothing but IS past device init is killed (a retry starts warm); a stage
+    still waiting on its first RPC is granted until ``hard_cap_s``.
+    """
+    if budget_s < 20:
+        print(f"bench: skipping stage {stage!r} ({budget_s:.0f}s left)",
+              file=sys.stderr, flush=True)
+        return
+    hard_cap_s = max(budget_s, hard_cap_s or budget_s)
+    out = tempfile.NamedTemporaryFile(
+        mode="w", suffix=f".{stage}.jsonl", delete=False)
+    out.close()
+    print(f"bench: stage {stage!r} start (budget {budget_s:.0f}s, "
+          f"cap {hard_cap_s:.0f}s)", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--stage", stage, "--out", out.name],
+            stdout=sys.stderr, stderr=sys.stderr, cwd=REPO)
+        extended = False
+        while True:
+            elapsed = time.perf_counter() - t0
+            deadline = hard_cap_s if extended else budget_s
+            try:
+                proc.wait(timeout=min(5.0, max(0.1, deadline - elapsed)))
+                break
+            except subprocess.TimeoutExpired:
+                pass
+            if time.perf_counter() - t0 < deadline:
+                continue
+            if (not extended and hard_cap_s > budget_s
+                    and "device" not in _read_snapshot(out.name).get(
+                        "detail", {})):
+                extended = True
+                print(f"bench: stage {stage!r} still pre-device at "
+                      f"{budget_s:.0f}s — extending to {hard_cap_s:.0f}s "
+                      "(restart would re-pay the stall)",
+                      file=sys.stderr, flush=True)
+                continue
+            print(f"bench: stage {stage!r} exceeded {deadline:.0f}s — killed",
+                  file=sys.stderr, flush=True)
+            proc.kill()
+            proc.wait(timeout=10)
+            break
+    except Exception as exc:  # noqa: BLE001 - any stage failure is survivable
+        print(f"bench: stage {stage!r} failed: {exc}",
+              file=sys.stderr, flush=True)
+    _merge(results, _read_snapshot(out.name))
+    print(f"bench: stage {stage!r} done in {time.perf_counter() - t0:.0f}s; "
+          f"sections so far: {sorted(results.get('detail', {}))}",
+          file=sys.stderr, flush=True)
+    try:
+        os.unlink(out.name)
+    except OSError:
+        pass
+
+
+def parent_main() -> None:
+    t0 = time.perf_counter()
+    results: dict = {}
+
+    def deadline(_sig, _frm):
+        print("bench: parent wall-clock deadline hit; emitting "
+              f"{sorted(results.get('detail', {}))}", file=sys.stderr,
+              flush=True)
+        _emit(results)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, deadline)
+    signal.alarm(TOTAL_BUDGET_S + 20)  # backstop behind per-stage budgets
+
+    def left() -> float:
+        return TOTAL_BUDGET_S - (time.perf_counter() - t0)
+
+    # Headline first — it alone decides value/vs_baseline. Nominal budget
+    # keeps room for a retry + the quant stage, but a pre-device stall
+    # extends to nearly the whole budget: one process surviving the stall
+    # beats two processes each dying inside it.
+    _run_stage("main", min(340.0, left() - 40), results,
+               hard_cap_s=left() - 30)
+    if results.get("value") is None:
+        _run_stage("main_small", left() - 15, results)
+    _run_stage("quant", left() - 10, results)
+    signal.alarm(0)
+    _emit(results)
+
+
+# ------------------------------------------------------------------- stages
+# Everything below runs inside a stage subprocess (imports JAX).
+
+
+class StageWriter:
+    """Accumulates RESULTS and rewrites a full snapshot line per update."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.results: dict = {"detail": {}}
+        self.t0 = time.perf_counter()
+
+    def mark(self, what: str) -> None:
+        print(f"bench: [{time.perf_counter() - self.t0:5.0f}s] {what}",
+              file=sys.stderr, flush=True)
+
+    def update(self, **top) -> None:
+        self.results.update(top)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(self.results) + "\n")
+
+    def section(self, name: str, value) -> None:
+        self.results["detail"][name] = value
+        self.update()
+
+
+def param_bytes(cfg) -> int:
     d, f, v = cfg.dim, cfg.ffn_hidden_dim, cfg.vocab_size
     per_layer = (2 * d                       # norms
                  + d * d + 2 * cfg.kv_heads * cfg.head_dim * d + d * d  # attn
@@ -47,7 +210,46 @@ def param_bytes(cfg: ModelArgs) -> int:
     return 2 * (2 * v * d + d + cfg.n_layers * per_layer)
 
 
-def pick_layer_count(budget_bytes: int) -> int:
+def _stage_setup(w: StageWriter):
+    """Shared stage bootstrap: imports, cache, device probe. Returns jax."""
+    w.mark("importing jax")
+    w.update()  # alive-marker: parent can tell "hung" from "never started"
+    sys.path.insert(0, REPO)
+    from llama_nuts_and_bolts_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    w.mark("probing device (first RPC may stall on a cold tunnel)")
+    t0 = time.perf_counter()
+    dev = jax.devices()[0]
+    # a real round-trip, not just backend init: 1-element compute + fetch
+    np.asarray((jnp.zeros((), jnp.int32) + 1))
+    w.section("first_rpc_s", round(time.perf_counter() - t0, 1))
+    w.section("device", str(dev))
+    w.mark(f"device ready: {dev}")
+    return jax
+
+
+def sync(x) -> None:
+    """Force completion: block_until_ready is a no-op on the axon tunnel
+    backend, so fetch ONE element to the host instead. The slice must happen
+    ON DEVICE (``.ravel()[:1]`` before ``np.asarray``) — converting the whole
+    leaf ships gigabytes through the ~8 MB/s tunnel."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def pick_layer_count(budget_bytes: int):
+    from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+
     for n_layers in range(32, 0, -1):
         cfg = ModelArgs(n_kv_heads=8, vocab_size=128256, multiple_of=1024,
                         ffn_dim_multiplier=1.3, n_layers=n_layers)
@@ -57,6 +259,8 @@ def pick_layer_count(budget_bytes: int) -> int:
 
 
 def device_budget() -> int:
+    import jax
+
     try:
         stats = jax.devices()[0].memory_stats()
         return int(stats["bytes_limit"] * 0.80)
@@ -64,74 +268,51 @@ def device_budget() -> int:
         return int(16 * (1024 ** 3) * 0.75)
 
 
-def sync(x) -> None:
-    """Force completion: block_until_ready is a no-op on the axon tunnel
-    backend, so fetch ONE element to the host instead. The slice must happen
-    ON DEVICE (``.ravel()[:1]`` before ``np.asarray``) — converting the whole
-    leaf ships gigabytes through the ~8 MB/s tunnel."""
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(leaf.ravel()[:1])
+def stage_main(w: StageWriter, small: bool = False) -> None:
+    jax = _stage_setup(w)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
 
-
-RESULTS = {}
-
-def _note(section: str, exc: Exception) -> None:
-    """Section failures must be visible: JSON stays on stdout, this on stderr."""
-    print(f"bench: section {section!r} skipped: {type(exc).__name__}: {exc}",
-          file=sys.stderr, flush=True)
-
-
-def _mark(section: str) -> None:
-    print(f"bench: section {section!r} start t={time.perf_counter() - BENCH_T0:.0f}s",
-          file=sys.stderr, flush=True)
-
-
-
-def emit_results() -> None:
-    """Print the one JSON line from whatever has been measured so far."""
-    print(json.dumps({
-        "metric": RESULTS.get("metric", "decode_tokens_per_sec_per_chip_llama31_bf16_b1"),
-        "value": RESULTS.get("value"),
-        "unit": "tokens/s",
-        "vs_baseline": RESULTS.get("vs_baseline"),
-        "detail": RESULTS.get("detail", {}),
-    }), flush=True)
-
-
-def _deadline(_sig, _frm):
-    # hard wall-clock guard: always emit the JSON line, even if the device
-    # stalls mid-section (tunnel congestion is a known failure mode here)
-    print(f"bench: wall-clock deadline hit; sections measured: "
-          f"{sorted(RESULTS.get('detail', {}))}", file=sys.stderr, flush=True)
-    emit_results()
-    os._exit(0)
-
-
-def main() -> None:
-    global BENCH_T0
-    BENCH_T0 = time.perf_counter()
-    # did enable_persistent_cache find earlier executables on disk? if yes,
-    # ttft_cold_s below is a process-cold / compile-cache-warm number
-    cache_dir = jax.config.jax_compilation_cache_dir
-    try:
-        cache_warm = bool(cache_dir) and bool(os.listdir(cache_dir))
-    except OSError:
-        cache_warm = False
-    signal.signal(signal.SIGALRM, _deadline)
-    signal.alarm(520)
-    n_layers = pick_layer_count(device_budget())
-    cfg = ModelArgs(
-        dim=4096, n_layers=n_layers, n_heads=32, n_kv_heads=8,
-        vocab_size=128256, multiple_of=1024, ffn_dim_multiplier=1.3,
-        norm_eps=1e-5, rope_theta=500000.0, use_scaled_rope=True,
-        max_sequence_length=2048,
+    from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+    from llama_nuts_and_bolts_tpu.models.llama import (
+        forward, init_random_params,
     )
+    from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
+
+    if TINY_MODE:
+        # mechanics-test config (tests/test_bench_mechanics.py): the full
+        # parent/stage/snapshot pipeline on the CPU backend in seconds
+        decode_steps, n_layers = 8, 2
+        cfg = ModelArgs(dim=256, n_layers=n_layers, n_heads=8, n_kv_heads=4,
+                        vocab_size=2048, multiple_of=64, norm_eps=1e-5,
+                        rope_theta=500000.0, use_scaled_rope=True,
+                        max_sequence_length=2048)
+        metric = "decode_tokens_per_sec_tiny_mechanics"
+    else:
+        decode_steps = 64 if small else 180
+        n_layers = 8 if small else pick_layer_count(device_budget())
+        cfg = ModelArgs(
+            dim=4096, n_layers=n_layers, n_heads=32, n_kv_heads=8,
+            vocab_size=128256, multiple_of=1024, ffn_dim_multiplier=1.3,
+            norm_eps=1e-5, rope_theta=500000.0, use_scaled_rope=True,
+            max_sequence_length=2048,
+        )
+        metric = (f"decode_tokens_per_sec_per_chip_llama31-{n_layers}L_bf16_b1"
+                  + ("-smallcfg" if small else ""))
+    roofline = V5E_HBM_BYTES_PER_S / param_bytes(cfg)
+
     # decode-optimized fused layout: qkv / gate+up fused, [in,out] weights
     # (models/llama/model.py fuse_decode_params; +~3.5% HBM streaming
     # measured on this chip — docs/07-PERFORMANCE.md)
+    w.mark(f"init params ({n_layers}L fused, compile may be cold)")
     params = jax.jit(init_random_params, static_argnums=(0, 2, 3))(
         cfg, jax.random.PRNGKey(0), jnp.bfloat16, True)
     sync(params)
+    w.mark("params materialized")
+    w.section("param_bytes", param_bytes(cfg))
+    w.section("roofline_tokens_per_s", round(roofline, 2))
+    w.section("device", str(jax.devices()[0]))
 
     fwd = jax.jit(forward, static_argnums=(1,), donate_argnums=(4,))
 
@@ -143,287 +324,350 @@ def main() -> None:
             return (nxt, pos + 1, cache), nxt[:, 0]
 
         (tok, pos, cache), toks = lax.scan(
-            body, (tok, start_pos, cache), None, length=DECODE_STEPS)
+            body, (tok, start_pos, cache), None, length=decode_steps)
         return toks, cache
 
     decode_jit = jax.jit(decode_n, donate_argnums=(1,))
-
     prompt = jnp.ones((1, PREFILL_LEN), dtype=jnp.int32)
-    cache = KVCache.create(cfg, 1, SEQ_CAP)
 
-    _mark("bf16")
-    # warm-up: compile prefill + decode loop
+    # -- warm-up: compile prefill + decode-scan programs -------------------
+    w.mark("compile prefill")
+    cache = KVCache.create(cfg, 1, SEQ_CAP)
     t0 = time.perf_counter()
     logits, cache = fwd(params, cfg, prompt, 0, cache)
     tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
     sync(tok)
     ttft_cold = time.perf_counter() - t0
+    w.section("ttft_cold_s", round(ttft_cold, 2))
+    w.mark("compile decode scan")
     toks, cache = decode_jit(params, cache, tok, PREFILL_LEN)
     sync(toks)
     del cache
+    w.mark("warm-up done")
 
-    # measured run: fresh cache, timed prefill (warm) + timed decode scans.
-    # TWO independent scan calls per timing: the second dispatch pipelines
-    # behind the first scan's execution, so the ~25 ms tunnel dispatch+sync
-    # overhead amortizes over 2*DECODE_STEPS tokens instead of one scan's.
+    # -- headline, provisional first: ONE timed scan lands a number --------
     cache = KVCache.create(cfg, 1, SEQ_CAP)
-    t0 = time.perf_counter()
     logits, cache = fwd(params, cfg, prompt, 0, cache)
     tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
     sync(tok)
-    ttft = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    toks, cache = decode_jit(params, cache, tok, PREFILL_LEN)
+    sync(toks)
+    one_scan = decode_steps / (time.perf_counter() - t0)
+    w.update(metric=metric, value=round(one_scan, 2),
+             vs_baseline=round(one_scan / roofline, 4))
+    w.section("decode_tokens_per_s_1scan", round(one_scan, 2))
+    w.mark(f"provisional headline {one_scan:.2f} tok/s")
+
+    # -- refine: amortize the ~25 ms tunnel dispatch over N_SCANS scans ----
+    # (dispatch of scan k+1 pipelines behind scan k's execution)
     N_SCANS = 6
     extra = [(KVCache.create(cfg, 1, SEQ_CAP), jnp.ones((1, 1), jnp.int32))
              for _ in range(N_SCANS - 1)]
     sync(extra[-1][0])
-
     t0 = time.perf_counter()
     toks, cache = decode_jit(params, cache, tok, PREFILL_LEN)
     for c_i, t_i in extra:
         toks, _ = decode_jit(params, c_i, t_i, PREFILL_LEN)
     sync(toks)   # program order: earlier scans completed before the last
-    decode_time = time.perf_counter() - t0
+    del extra
+    toks_per_s = (N_SCANS * decode_steps) / (time.perf_counter() - t0)
+    w.update(metric=metric, value=round(toks_per_s, 2),
+             vs_baseline=round(toks_per_s / roofline, 4))
+    w.mark(f"refined headline {toks_per_s:.2f} tok/s "
+           f"({toks_per_s / roofline:.4f} of roofline)")
 
-    toks_per_s = N_SCANS * DECODE_STEPS / decode_time
-    roofline_main = V5E_HBM_BYTES_PER_S / param_bytes(cfg)
-    RESULTS.update({
-        "metric": f"decode_tokens_per_sec_per_chip_llama31-{n_layers}L_bf16_b1",
-        "value": round(toks_per_s, 2),
-        "vs_baseline": round(toks_per_s / roofline_main, 4),
-        "detail": {
-            "p50_ttft_warm_s": round(ttft, 4),
-            "ttft_cold_s": round(ttft_cold, 2),
-            "ttft_cold_compile_cache_warm": cache_warm,
-            "param_bytes": param_bytes(cfg),
-            "roofline_tokens_per_s": round(roofline_main, 2),
-            "device": str(jax.devices()[0]),
-        },
-    })
-
-    # batched decode throughput (BASELINE config #4): same weights read per
-    # step amortized over 16 sequences
-    BATCH = 16
-    batch_toks_per_s = None
-    bt = jnp.ones((BATCH, 1), dtype=jnp.int32)
-    def decode_batch(params, cache, tok, start_pos):
-        def body(carry, _):
-            tok, pos, cache = carry
-            logits, cache = forward(params, cfg, tok, pos, cache)
-            nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-            return (nxt, pos + 1, cache), nxt[:, 0]
-
-        (tok, pos, cache), toks = lax.scan(
-            body, (tok, start_pos, cache), None, length=DECODE_STEPS)
-        return toks, cache
-
-    if time.perf_counter() - BENCH_T0 < 420:  # stay inside the time budget
-        try:
-            _mark("batch16")
-            decode_batch_jit = jax.jit(decode_batch, donate_argnums=(1,))
-            bcache = KVCache.create(cfg, BATCH, SEQ_CAP)
-            toks_b, bcache = decode_batch_jit(params, bcache, bt, 1)
-            sync(toks_b)  # compile
-            bcache = KVCache.create(cfg, BATCH, SEQ_CAP)
-            t0 = time.perf_counter()
-            toks_b, bcache = decode_batch_jit(params, bcache, bt, 1)
-            sync(toks_b)
-            batch_toks_per_s = BATCH * DECODE_STEPS / (time.perf_counter() - t0)
-            RESULTS["detail"]["batch16_decode_total_tokens_per_s"] = round(batch_toks_per_s, 2)
-            del bcache
-        except Exception as exc:
-            _note('batch16', exc)
-
-    # 8K long-context decode (BASELINE config #3): same weights, scaled-RoPE
-    # tables extended to 16K positions, decode steps attending a nearly-full
-    # 8192-slot cache — measures the deep-cache read + mask cost
-    if time.perf_counter() - BENCH_T0 < 420:
-        try:
-            _mark("8k_context")
-            import dataclasses
-
-            cfg_8k = dataclasses.replace(cfg, max_sequence_length=8192)
-            from llama_nuts_and_bolts_tpu.models.llama.rope import precompute_rope_tables
-
-            cos8k, sin8k = precompute_rope_tables(
-                cfg.head_dim, 2 * 8192, cfg.rope_theta, cfg.use_scaled_rope)
-            params8k = dataclasses.replace(
-                params, rope_cos=jnp.asarray(cos8k), rope_sin=jnp.asarray(sin8k))
-
-            def decode_8k(params, cache, tok, start_pos):
-                def body(carry, _):
-                    tok, pos, cache = carry
-                    logits, cache = forward(params, cfg_8k, tok, pos, cache)
-                    nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-                    return (nxt, pos + 1, cache), nxt[:, 0]
-
-                (tok, pos, cache), toks = lax.scan(
-                    body, (tok, start_pos, cache), None, length=DECODE_STEPS)
-                return toks, cache
-
-            def decode_8k_flash(params, cache, tok, start_pos):
-                def body(carry, _):
-                    tok, pos, cache = carry
-                    logits, cache = forward(params, cfg_8k, tok, pos, cache,
-                                            attn_impl="flash")
-                    nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-                    return (nxt, pos + 1, cache), nxt[:, 0]
-
-                (tok, pos, cache), toks = lax.scan(
-                    body, (tok, start_pos, cache), None, length=DECODE_STEPS)
-                return toks, cache
-
-            kt = jnp.ones((1, 1), jnp.int32)
-            # measure BOTH the XLA einsum path and the fused Pallas
-            # flash-decode kernel at a nearly-full 8K cache; report the
-            # better one (and both, for the record)
-            both = {}
-            for name, fn in (("xla", decode_8k), ("flash", decode_8k_flash)):
-                djit = jax.jit(fn, donate_argnums=(1,))
-                kcache = KVCache.create(cfg_8k, 1, 8192)
-                toks_k, kcache = djit(params8k, kcache, kt, 8192 - DECODE_STEPS - 2)
-                sync(toks_k)  # compile
-                del kcache
-                kcache = KVCache.create(cfg_8k, 1, 8192)
-                t0 = time.perf_counter()
-                toks_k, kcache = djit(params8k, kcache, kt, 8192 - DECODE_STEPS - 2)
-                sync(toks_k)
-                both[name] = round(DECODE_STEPS / (time.perf_counter() - t0), 2)
-                del kcache
-            RESULTS["detail"]["decode_8k_context_tokens_per_s"] = max(both.values())
-            RESULTS["detail"]["decode_8k_xla_tokens_per_s"] = both["xla"]
-            RESULTS["detail"]["decode_8k_flash_tokens_per_s"] = both["flash"]
-            del params8k
-        except Exception as exc:
-            _note('8k_context', exc)
-
-    # free the bf16 24L params (12.6 GB) before the full-8B quantized sections
-    del params
-    cfg8 = ModelArgs(
-        dim=4096, n_layers=32, n_heads=32, n_kv_heads=8, vocab_size=128256,
-        multiple_of=1024, ffn_dim_multiplier=1.3, norm_eps=1e-5,
-        rope_theta=500000.0, use_scaled_rope=True, max_sequence_length=2048)
-
-    # FULL 32-layer 8B, int4 weight-only (~4.3 GB packed nibbles): the best
-    # single-chip full-8B number — runs before int8 so it survives the alarm
+    # -- p50 TTFT at a realistic 512-token prefill bucket ------------------
+    # (BASELINE metric "p50 TTFT"; reference prefill path
+    # src/inference/inference.go:195-202)
     try:
-        if time.perf_counter() - BENCH_T0 > 400:
-            raise TimeoutError("time budget exhausted; skipping int4 section")
-        _mark("int4")
-        from llama_nuts_and_bolts_tpu.quant import init_random_params_q4, nativize_q4
+        w.mark("compile prefill-512")
+        prompt512 = jnp.ones((1, 512), dtype=jnp.int32)
+        fwd512 = jax.jit(forward, static_argnums=(1,))
+        c512 = KVCache.create(cfg, 1, 1024)
+        logits, _ = fwd512(params, cfg, prompt512, 0, c512)
+        sync(logits)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            logits, _ = fwd512(params, cfg, prompt512, 0, c512)
+            tok512 = jnp.argmax(logits[:, -1:], axis=-1)
+            sync(tok512)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        p50 = times[len(times) // 2]
+        w.section("p50_ttft_512_s", round(p50, 4))
+        w.section("prefill_512_tokens_per_s", round(512 / p50, 1))
+        w.mark(f"p50 TTFT@512 {p50 * 1e3:.1f} ms")
+    except Exception as exc:  # noqa: BLE001
+        w.mark(f"ttft512 skipped: {exc}")
 
-        q4params = init_random_params_q4(cfg8, jax.random.PRNGKey(0))
-        sync(q4params)
+    # -- flash vs XLA prefill at 2K ctx ------------------------------------
+    try:
+        w.mark("compile prefill-2048 (xla + flash)")
+        prompt2k = jnp.ones((1, 2048), dtype=jnp.int32)
+        c2k = KVCache.create(cfg, 1, 2048)
+        rates = {}
+        for impl in ("xla", "flash"):
+            f2k = jax.jit(forward, static_argnums=(1, 5))
+            logits, _ = f2k(params, cfg, prompt2k, 0, c2k, impl)
+            sync(logits)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                logits, _ = f2k(params, cfg, prompt2k, 0, c2k, impl)
+                sync(logits)
+            rates[impl] = 3 * 2048 / (time.perf_counter() - t0)
+        w.section("prefill_2k_xla_tokens_per_s", round(rates["xla"], 1))
+        w.section("prefill_2k_flash_tokens_per_s", round(rates["flash"], 1))
+        w.section("prefill_flash_vs_xla",
+                  round(rates["flash"] / rates["xla"], 3))
+        w.mark(f"prefill 2K flash/xla = {rates['flash'] / rates['xla']:.2f}x")
+    except Exception as exc:  # noqa: BLE001
+        w.mark(f"prefill-2k skipped: {exc}")
 
-        def decode_q4(params, cache, tok, start_pos):
-            # one in-jit unpack to native int4, amortized over DECODE_STEPS
-            params = nativize_q4(params)
+    # -- streamed interactive path: k-token chunked dispatches -------------
+    # the CLI/SSE generator's actual pattern (runtime/engine.py
+    # _decode_chunk, default k=8 on RPC-attached devices): a HOST loop of
+    # k-step scans with a 1-element fetch per chunk — unlike the headline's
+    # pipelined back-to-back scans, this pays one round-trip per k tokens
+    try:
+        w.mark("streamed-path section (k=8 chunks)")
+        K = 8
+        n_chunks = max(1, decode_steps // K)
 
+        def chunk8(params, cache, tok, start_pos):
             def body(carry, _):
                 tok, pos, cache = carry
-                logits, cache = forward(params, cfg8, tok, pos, cache)
+                logits, cache = forward(params, cfg, tok, pos, cache)
                 nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
                 return (nxt, pos + 1, cache), nxt[:, 0]
 
             (tok, pos, cache), toks = lax.scan(
-                body, (tok, start_pos, cache), None, length=DECODE_STEPS)
+                body, (tok, start_pos, cache), None, length=K)
             return toks, cache
 
-        dq4 = jax.jit(decode_q4, donate_argnums=(1,))
-        q4cache = KVCache.create(cfg8, 1, SEQ_CAP)
-        q4t = jnp.ones((1, 1), jnp.int32)
-        toks_q4, q4cache = dq4(q4params, q4cache, q4t, 1)
-        sync(toks_q4)
-        q4cache = KVCache.create(cfg8, 1, SEQ_CAP)
+        cjit = jax.jit(chunk8, donate_argnums=(1,))
+        scache = KVCache.create(cfg, 1, SEQ_CAP)
+        st = jnp.ones((1, 1), jnp.int32)
+        toks_s, scache = cjit(params, scache, st, 1)
+        sync(toks_s)  # compile
+        del scache
+        scache = KVCache.create(cfg, 1, SEQ_CAP)
+        pos, tok = 1, st
         t0 = time.perf_counter()
-        toks_q4, q4cache = dq4(q4params, q4cache, q4t, 1)
-        sync(toks_q4)
-        q4_toks_per_s = DECODE_STEPS / (time.perf_counter() - t0)
-        RESULTS["detail"]["full_8b_32L_int4_decode_tokens_per_s"] = round(q4_toks_per_s, 2)
-        del q4cache
+        for _ in range(n_chunks):
+            toks_s, scache = cjit(params, scache, tok, pos)
+            arr = np.asarray(toks_s)       # host sees every token, like SSE
+            tok = jnp.asarray(arr[-1:].reshape(1, 1))
+            pos += K
+        rate = n_chunks * K / (time.perf_counter() - t0)
+        w.section("streamed_chunk8_tokens_per_s", round(rate, 2))
+        del scache
+        w.mark(f"streamed path {rate:.2f} tok/s")
+    except Exception as exc:  # noqa: BLE001
+        w.mark(f"streamed section skipped: {exc}")
 
-        # production long-context config: full 8B, 8K context, ONE chip —
-        # int4 weights + int8 KV cache + the Pallas flash-decode kernel
-        if time.perf_counter() - BENCH_T0 < 440:
-            import dataclasses
+    if small:
+        return
 
-            from llama_nuts_and_bolts_tpu.models.llama.rope import precompute_rope_tables
+    # -- batched decode throughput (BASELINE config #4) --------------------
+    try:
+        w.mark("batch16 section")
+        BATCH = 16
+        bt = jnp.ones((BATCH, 1), dtype=jnp.int32)
+        bcache = KVCache.create(cfg, BATCH, SEQ_CAP)
+        toks_b, bcache = decode_jit(params, bcache, bt, 1)
+        sync(toks_b)  # compile (same program: batch dim is in the avals)
+        bcache = KVCache.create(cfg, BATCH, SEQ_CAP)
+        t0 = time.perf_counter()
+        toks_b, bcache = decode_jit(params, bcache, bt, 1)
+        sync(toks_b)
+        rate = BATCH * decode_steps / (time.perf_counter() - t0)
+        w.section("batch16_decode_total_tokens_per_s", round(rate, 2))
+        del bcache
+        w.mark(f"batch16 {rate:.0f} tok/s total")
+    except Exception as exc:  # noqa: BLE001
+        w.mark(f"batch16 skipped: {exc}")
 
-            cfg8k = dataclasses.replace(cfg8, max_sequence_length=8192)
-            cos8, sin8 = precompute_rope_tables(
-                cfg8.head_dim, 2 * 8192, cfg8.rope_theta, cfg8.use_scaled_rope)
-            q4p8k = dataclasses.replace(
-                q4params, rope_cos=jnp.asarray(cos8), rope_sin=jnp.asarray(sin8))
+    # -- 8K long-context decode (BASELINE config #3) -----------------------
+    try:
+        w.mark("8k-context section")
+        import dataclasses
 
-            def decode_q4_8k(params, cache, tok, start_pos):
-                params = nativize_q4(params)
+        from llama_nuts_and_bolts_tpu.models.llama.rope import (
+            precompute_rope_tables,
+        )
 
+        cfg_8k = dataclasses.replace(cfg, max_sequence_length=8192)
+        cos8k, sin8k = precompute_rope_tables(
+            cfg.head_dim, 2 * 8192, cfg.rope_theta, cfg.use_scaled_rope)
+        params8k = dataclasses.replace(
+            params, rope_cos=jnp.asarray(cos8k), rope_sin=jnp.asarray(sin8k))
+
+        def make_decode_8k(impl):
+            def decode_8k(params, cache, tok, start_pos):
                 def body(carry, _):
                     tok, pos, cache = carry
-                    logits, cache = forward(params, cfg8k, tok, pos, cache,
-                                            attn_impl="flash")
+                    logits, cache = forward(params, cfg_8k, tok, pos, cache,
+                                            attn_impl=impl)
                     nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
                     return (nxt, pos + 1, cache), nxt[:, 0]
 
                 (tok, pos, cache), toks = lax.scan(
-                    body, (tok, start_pos, cache), None, length=DECODE_STEPS)
+                    body, (tok, start_pos, cache), None, length=decode_steps)
                 return toks, cache
 
-            d48 = jax.jit(decode_q4_8k, donate_argnums=(1,))
-            kc = KVCache.create(cfg8k, 1, 8192, dtype=jnp.int8)
-            start = 8192 - DECODE_STEPS - 2
-            toks48, kc = d48(q4p8k, kc, jnp.ones((1, 1), jnp.int32), start)
-            sync(toks48)
-            kc = KVCache.create(cfg8k, 1, 8192, dtype=jnp.int8)
-            t0 = time.perf_counter()
-            toks48, kc = d48(q4p8k, kc, jnp.ones((1, 1), jnp.int32), start)
-            sync(toks48)
-            RESULTS["detail"]["full_8b_8k_ctx_int4w_int8kv_tokens_per_s"] = round(
-                DECODE_STEPS / (time.perf_counter() - t0), 2)
-            del q4p8k, kc
-        del q4params
-    except Exception as exc:
-        _note('int4', exc)
+            return decode_8k
 
-    # FULL 32-layer 8B with int8 weight-only quantization: 8.6 GB of weights
-    # fits a single chip, and bandwidth-bound decode gains ~2x per byte saved
+        kt = jnp.ones((1, 1), jnp.int32)
+        both = {}
+        for name in ("xla", "flash"):
+            djit = jax.jit(make_decode_8k(name), donate_argnums=(1,))
+            kcache = KVCache.create(cfg_8k, 1, 8192)
+            toks_k, kcache = djit(params8k, kcache, kt,
+                                  8192 - decode_steps - 2)
+            sync(toks_k)  # compile
+            del kcache
+            kcache = KVCache.create(cfg_8k, 1, 8192)
+            t0 = time.perf_counter()
+            toks_k, kcache = djit(params8k, kcache, kt,
+                                  8192 - decode_steps - 2)
+            sync(toks_k)
+            both[name] = round(decode_steps / (time.perf_counter() - t0), 2)
+            del kcache
+            w.mark(f"8k {name} {both[name]} tok/s")
+        w.section("decode_8k_context_tokens_per_s", max(both.values()))
+        w.section("decode_8k_xla_tokens_per_s", both["xla"])
+        w.section("decode_8k_flash_tokens_per_s", both["flash"])
+        del params8k
+    except Exception as exc:  # noqa: BLE001
+        w.mark(f"8k-context skipped: {exc}")
+
+
+def stage_quant(w: StageWriter) -> None:
+    """Full 32-layer 8B with int4/int8 weight-only quantization."""
+    jax = _stage_setup(w)
+    import jax.numpy as jnp
+    from jax import lax
+
+    from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+    from llama_nuts_and_bolts_tpu.models.llama import forward
+    from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
+
+    if TINY_MODE:
+        decode_steps = 8
+        cfg8 = ModelArgs(dim=256, n_layers=2, n_heads=8, n_kv_heads=4,
+                         vocab_size=2048, multiple_of=64, norm_eps=1e-5,
+                         rope_theta=500000.0, use_scaled_rope=True,
+                         max_sequence_length=2048)
+    else:
+        decode_steps = 180
+        cfg8 = ModelArgs(
+            dim=4096, n_layers=32, n_heads=32, n_kv_heads=8, vocab_size=128256,
+            multiple_of=1024, ffn_dim_multiplier=1.3, norm_eps=1e-5,
+            rope_theta=500000.0, use_scaled_rope=True, max_sequence_length=2048)
+
+    def run_decode(name, params, cfg_run, cache, tok, start, transform=None,
+                   impl=None):
+        def decode(params, cache, tok, start_pos):
+            if transform is not None:
+                params = transform(params)
+
+            def body(carry, _):
+                tok, pos, cache = carry
+                kw = {} if impl is None else {"attn_impl": impl}
+                logits, cache = forward(params, cfg_run, tok, pos, cache, **kw)
+                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                return (nxt, pos + 1, cache), nxt[:, 0]
+
+            (tok, pos, cache), toks = lax.scan(
+                body, (tok, start_pos, cache), None, length=decode_steps)
+            return toks, cache
+
+        djit = jax.jit(decode, donate_argnums=(1,))
+        toks, cache2 = djit(params, cache, tok, start)
+        sync(toks)  # compile
+        del cache2
+        cache = KVCache.create(cfg_run, 1, cache.k.shape[3],
+                               dtype=cache.k.dtype)
+        t0 = time.perf_counter()
+        toks, cache2 = djit(params, cache, tok, start)
+        sync(toks)
+        rate = decode_steps / (time.perf_counter() - t0)
+        w.section(name, round(rate, 2))
+        w.mark(f"{name} {rate:.2f} tok/s")
+        del cache2
+
+    # int4 first: the best single-chip full-8B number must survive deadlines
     try:
-        if time.perf_counter() - BENCH_T0 > 430:
-            raise TimeoutError("time budget exhausted; skipping int8 section")
-        _mark("int8")
+        w.mark("int4 init (full 32L)")
+        from llama_nuts_and_bolts_tpu.quant import (
+            init_random_params_q4, nativize_q4,
+        )
+
+        q4params = init_random_params_q4(cfg8, jax.random.PRNGKey(0))
+        sync(q4params)
+        w.mark("int4 params materialized")
+        run_decode("full_8b_32L_int4_decode_tokens_per_s", q4params, cfg8,
+                   KVCache.create(cfg8, 1, SEQ_CAP),
+                   jnp.ones((1, 1), jnp.int32), 1, transform=nativize_q4)
+
+        # production long-context config: full 8B, 8K ctx, ONE chip —
+        # int4 weights + int8 KV cache + the Pallas flash-decode kernel
+        import dataclasses
+
+        from llama_nuts_and_bolts_tpu.models.llama.rope import (
+            precompute_rope_tables,
+        )
+
+        cfg8k = dataclasses.replace(cfg8, max_sequence_length=8192)
+        cos8, sin8 = precompute_rope_tables(
+            cfg8.head_dim, 2 * 8192, cfg8.rope_theta, cfg8.use_scaled_rope)
+        q4p8k = dataclasses.replace(
+            q4params, rope_cos=jnp.asarray(cos8), rope_sin=jnp.asarray(sin8))
+        run_decode("full_8b_8k_ctx_int4w_int8kv_tokens_per_s", q4p8k, cfg8k,
+                   KVCache.create(cfg8k, 1, 8192, dtype=jnp.int8),
+                   jnp.ones((1, 1), jnp.int32), 8192 - decode_steps - 2,
+                   transform=nativize_q4, impl="flash")
+        del q4p8k, q4params
+    except Exception as exc:  # noqa: BLE001
+        w.mark(f"int4 skipped: {exc}")
+
+    # int8 weight-only: 8.6 GB of weights on one chip
+    try:
+        w.mark("int8 init (full 32L)")
         from llama_nuts_and_bolts_tpu.quant import init_random_params_q8
 
         qparams = init_random_params_q8(cfg8, jax.random.PRNGKey(0))
         sync(qparams)
+        w.mark("int8 params materialized")
+        run_decode("full_8b_32L_int8_decode_tokens_per_s", qparams, cfg8,
+                   KVCache.create(cfg8, 1, SEQ_CAP),
+                   jnp.ones((1, 1), jnp.int32), 1)
+        del qparams
+    except Exception as exc:  # noqa: BLE001
+        w.mark(f"int8 skipped: {exc}")
 
-        def decode_q8(params, cache, tok, start_pos):
-            def body(carry, _):
-                tok, pos, cache = carry
-                logits, cache = forward(params, cfg8, tok, pos, cache)
-                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-                return (nxt, pos + 1, cache), nxt[:, 0]
 
-            (tok, pos, cache), toks = lax.scan(
-                body, (tok, start_pos, cache), None, length=DECODE_STEPS)
-            return toks, cache
-
-        dq = jax.jit(decode_q8, donate_argnums=(1,))
-        qcache = KVCache.create(cfg8, 1, SEQ_CAP)
-        qt = jnp.ones((1, 1), jnp.int32)
-        toks_q, qcache = dq(qparams, qcache, qt, 1)
-        sync(toks_q)
-        qcache = KVCache.create(cfg8, 1, SEQ_CAP)
-        t0 = time.perf_counter()
-        toks_q, qcache = dq(qparams, qcache, qt, 1)
-        sync(toks_q)
-        q8_toks_per_s = DECODE_STEPS / (time.perf_counter() - t0)
-        RESULTS["detail"]["full_8b_32L_int8_decode_tokens_per_s"] = round(q8_toks_per_s, 2)
-        del qparams, qcache
-    except Exception as exc:
-        _note('int8', exc)
-
-    signal.alarm(0)
-    emit_results()
+def stage_entry(stage: str, out_path: str) -> None:
+    w = StageWriter(out_path)
+    try:
+        if stage == "main":
+            stage_main(w)
+        elif stage == "main_small":
+            stage_main(w, small=True)
+        elif stage == "quant":
+            stage_quant(w)
+        else:
+            raise ValueError(f"unknown stage {stage!r}")
+    except Exception as exc:  # noqa: BLE001 - snapshot already on disk
+        w.mark(f"stage {stage!r} aborted: {type(exc).__name__}: {exc}")
+        raise
 
 
 if __name__ == "__main__":
-    main()
+    if "--stage" in sys.argv:
+        i = sys.argv.index("--stage")
+        stage_entry(sys.argv[i + 1], sys.argv[sys.argv.index("--out") + 1])
+    else:
+        parent_main()
