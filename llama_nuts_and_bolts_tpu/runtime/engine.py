@@ -300,41 +300,71 @@ class InferenceEngine:
             return max(1, self.args.decode_chunk)
         return 8 if jax.devices()[0].platform == "axon" else 1
 
-    def _decode_chunk(self, k: int):
-        """Jitted k-step greedy decode: one dispatch yields k tokens via an
-        on-device lax.scan (same per-step program as the single-token path)."""
-        if k not in self._chunk_fns:
+    def _decode_chunk(self, k: int, sampled: bool = False):
+        """Jitted k-step decode: one dispatch yields k tokens via an
+        on-device lax.scan (same per-step program as the single-token path).
+
+        The sampled variant carries the RNG key through the scan and splits
+        it exactly like the per-token loop (`self._rng, key = split(rng)` per
+        step), so the emitted token sequence for a given seed is identical
+        to per-token decoding. Temperature is traced (one executable serves
+        any value); top_k/top_p are shape-affecting and stay static."""
+        cache_key = ((k, "s", self.args.top_k, self.args.top_p) if sampled
+                     else (k, "g"))
+        if cache_key not in self._chunk_fns:
             from jax import lax
 
             cfg = self.model.cfg
             impl = self._attn_impl(1)
             mesh = self.mesh
 
-            def chunk(params, tok, pos, cache):
-                def body(carry, _):
-                    tok, pos, cache = carry
-                    logits, cache = forward(params, cfg, tok, pos, cache,
-                                            attn_impl=impl, mesh=mesh)
-                    nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-                    return (nxt, pos + 1, cache), nxt[0, 0]
+            if sampled:
+                top_k, top_p = self.args.top_k, self.args.top_p
 
-                (tok, pos, cache), toks = lax.scan(
-                    body, (tok, pos, cache), None, length=k)
-                return toks, cache
+                def chunk_s(params, tok, pos, cache, rng, temperature):
+                    def body(carry, _):
+                        tok, pos, cache, rng = carry
+                        logits, cache = forward(params, cfg, tok, pos, cache,
+                                                attn_impl=impl, mesh=mesh)
+                        rng, key = jax.random.split(rng)
+                        nxt = sample_token(logits[0, -1] / temperature, key,
+                                           1.0, top_k, top_p)
+                        nxt = nxt.reshape(1, 1).astype(jnp.int32)
+                        return (nxt, pos + 1, cache, rng), nxt[0, 0]
 
-            self._chunk_fns[k] = jax.jit(chunk, donate_argnums=(3,))
-        return self._chunk_fns[k]
+                    (tok, pos, cache, rng), toks = lax.scan(
+                        body, (tok, pos, cache, rng), None, length=k)
+                    return toks, rng, cache
+
+                self._chunk_fns[cache_key] = jax.jit(chunk_s,
+                                                     donate_argnums=(3,))
+            else:
+                def chunk(params, tok, pos, cache):
+                    def body(carry, _):
+                        tok, pos, cache = carry
+                        logits, cache = forward(params, cfg, tok, pos, cache,
+                                                attn_impl=impl, mesh=mesh)
+                        nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                        return (nxt, pos + 1, cache), nxt[0, 0]
+
+                    (tok, pos, cache), toks = lax.scan(
+                        body, (tok, pos, cache), None, length=k)
+                    return toks, cache
+
+                self._chunk_fns[cache_key] = jax.jit(chunk, donate_argnums=(3,))
+        return self._chunk_fns[cache_key]
 
     def generate_tokens(
         self, prompt_tokens: Sequence[int]
     ) -> Iterator[Tuple[GenerationState, int]]:
         """Greedy/sampled autoregressive generation, one token per yield.
 
-        Greedy streaming decodes in on-device chunks of k steps per dispatch
+        Streaming decodes in on-device chunks of k steps per dispatch
         (``args.decode_chunk``; exact same token sequence — the scan body IS
-        the single-step program) and replays each chunk's tokens one at a
-        time, so detokenizer waiting-bytes state and console semantics are
-        untouched. Sampling and the seq-len tail run per-token.
+        the single-step program, and the sampled variant splits the RNG key
+        per step exactly like the per-token loop) and replays each chunk's
+        tokens one at a time, so detokenizer waiting-bytes state and console
+        semantics are untouched. The seq-len tail runs per-token.
         """
         if self.args.speculate_k > 0 and self.args.temperature == 0.0:
             yield from self._generate_tokens_speculative(prompt_tokens)
@@ -345,7 +375,7 @@ class InferenceEngine:
         logits, cache = self._prefill(prompt_tokens)
         next_token = self._select_token(logits[0, 0])
 
-        chunk_k = self._decode_chunk_size() if self.args.temperature == 0.0 else 1
+        chunk_k = self._decode_chunk_size()
         cur_pos = prompt_len
         while True:
             if vocab.is_stop(next_token):
@@ -361,8 +391,14 @@ class InferenceEngine:
                 # a stop token mid-chunk simply ends the replay — the extra
                 # scanned positions are never read again.
                 step = jnp.asarray([[next_token]], dtype=jnp.int32)
-                toks, cache = self._decode_chunk(chunk_k)(
-                    self.model.params, step, cur_pos, cache)
+                if self.args.temperature > 0.0:
+                    toks, self._rng, cache = self._decode_chunk(
+                        chunk_k, sampled=True)(
+                        self.model.params, step, cur_pos, cache, self._rng,
+                        jnp.float32(self.args.temperature))
+                else:
+                    toks, cache = self._decode_chunk(chunk_k)(
+                        self.model.params, step, cur_pos, cache)
                 chunk_tokens = np.asarray(toks).tolist()
                 cur_pos += 1
                 for i, tok in enumerate(chunk_tokens):

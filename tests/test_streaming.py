@@ -392,11 +392,23 @@ def test_chunked_decode_dispatch_count():
     assert calls["n"] <= (n_decoded // 4) + 2
 
 
-def test_sampling_ignores_decode_chunk():
-    """Sampled decode stays per-token (RNG consumption must be per-step)."""
-    eng = make_engine(sequence_length=16, temperature=0.8, decode_chunk=8)
-    out = list(eng.generate_tokens([1, 2]))
-    assert out and all(0 <= t < VOCAB.size for _, t in out)
+def test_sampled_chunked_decode_matches_per_token():
+    """Chunked sampling splits the RNG key per scan step exactly like the
+    per-token loop, so a given seed yields the identical token stream."""
+    for params in ({"temperature": 0.8},
+                   {"temperature": 1.3, "top_k": 8, "top_p": 0.9}):
+        ref = list(make_engine(sequence_length=16, decode_chunk=1, seed=5,
+                               **params).generate_tokens([1, 2]))
+        for k in (3, 8):
+            out = list(make_engine(sequence_length=16, decode_chunk=k, seed=5,
+                                   **params).generate_tokens([1, 2]))
+            assert out == ref, (params, k)
+    # different seed still diverges (the RNG is actually consumed)
+    other = list(make_engine(sequence_length=16, decode_chunk=8, seed=6,
+                             temperature=0.8).generate_tokens([1, 2]))
+    base = list(make_engine(sequence_length=16, decode_chunk=8, seed=5,
+                            temperature=0.8).generate_tokens([1, 2]))
+    assert other != base
 
 
 # ------------------------------------------------------- attn-impl probe
@@ -421,3 +433,23 @@ def test_attn_impl_probe_is_one_shot():
     assert first is not None
     eng._probe_timings = None  # autotune would crash if re-entered
     assert eng._attn_impl(1) == first
+
+
+def test_chunked_decode_under_tensor_parallelism():
+    """decode_chunk with an active tp mesh: the chunk scan runs the same
+    sharded per-step program; transcripts match the unsharded per-token
+    stream exactly."""
+    from llama_nuts_and_bolts_tpu.models.llama.loader import LoadedModel
+    from llama_nuts_and_bolts_tpu.parallel import make_mesh, shard_params
+
+    ref = list(make_engine(sequence_length=16, decode_chunk=1)
+               .generate_tokens([1, 5, 9]))
+
+    params = jax.jit(init_random_params, static_argnums=(0,))(
+        TINY, jax.random.PRNGKey(0))
+    mesh = make_mesh(tp=2, dp=1)
+    model = LoadedModel(params=shard_params(params, mesh), cfg=TINY,
+                        vocab=VOCAB, mergeable_ranks=RANKS, tensor_meta={})
+    eng = InferenceEngine(model, InferenceArgs(sequence_length=16,
+                                               decode_chunk=4), mesh=mesh)
+    assert list(eng.generate_tokens([1, 5, 9])) == ref
