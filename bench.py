@@ -167,11 +167,12 @@ def parent_main() -> None:
     # keeps room for a retry + the quant stage, but a pre-device stall
     # extends to nearly the whole budget: one process surviving the stall
     # beats two processes each dying inside it.
-    _run_stage("main", min(340.0, left() - 40), results,
+    _run_stage("main", min(400.0, left() - 40), results,
                hard_cap_s=left() - 30)
     if results.get("value") is None:
         _run_stage("main_small", left() - 15, results)
-    _run_stage("quant", left() - 10, results)
+    if "full_8b_32L_int8_decode_tokens_per_s" not in results.get("detail", {}):
+        _run_stage("quant", left() - 10, results)
     signal.alarm(0)
     _emit(results)
 
@@ -221,6 +222,12 @@ def _stage_setup(w: StageWriter):
 
     enable_persistent_cache()
     import jax
+
+    # the axon sitecustomize pins the platform at interpreter startup, so
+    # JAX_PLATFORMS in the environment alone does NOT stick — apply it
+    # explicitly (the CPU mechanics tests depend on this)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     import numpy as np
 
@@ -543,10 +550,32 @@ def stage_main(w: StageWriter, small: bool = False) -> None:
     except Exception as exc:  # noqa: BLE001
         w.mark(f"8k-context skipped: {exc}")
 
+    # quant sections in the SAME process: the first-RPC stall is per-process,
+    # so a healthy run pays it once; a crash here still leaves every main
+    # section in the snapshot, and the parent falls back to stage_quant
+    # (observed: residual buffers can RESOURCE_EXHAUST the 8K int4 section —
+    # free everything the main sections left behind first)
+    del params, cache, logits, tok, toks, prompt
+    try:
+        del c512, prompt512
+    except NameError:
+        pass
+    try:
+        del c2k, prompt2k
+    except NameError:
+        pass
+    _quant_sections(w, jax)
+
 
 def stage_quant(w: StageWriter) -> None:
-    """Full 32-layer 8B with int4/int8 weight-only quantization."""
+    """Fallback stage: quant sections in their own process (used only when
+    the main stage died before reaching them)."""
     jax = _stage_setup(w)
+    _quant_sections(w, jax)
+
+
+def _quant_sections(w: StageWriter, jax) -> None:
+    """Full 32-layer 8B with int4/int8 weight-only quantization."""
     import jax.numpy as jnp
     from jax import lax
 
