@@ -459,18 +459,23 @@ def stage_main(w: StageWriter, small: bool = False) -> None:
         toks_s, scache = cjit(params, scache, st, 1)
         sync(toks_s)  # compile
         del scache
+        # the engine's pipelined pattern (runtime/engine.py): dispatch chunk
+        # N+1 with chunk N's last token ON DEVICE, then fetch chunk N — the
+        # host round-trip overlaps the next chunk's execution
         scache = KVCache.create(cfg, 1, SEQ_CAP)
-        pos, tok = 1, st
+        pos = 1
         t0 = time.perf_counter()
-        for _ in range(n_chunks):
-            toks_s, scache = cjit(params, scache, tok, pos)
-            arr = np.asarray(toks_s)       # host sees every token, like SSE
-            tok = jnp.asarray(arr[-1:].reshape(1, 1))
-            pos += K
+        toks_s, scache = cjit(params, scache, st, pos)
+        for _ in range(n_chunks - 1):
+            nxt = toks_s[-1:].reshape(1, 1)
+            toks_next, scache = cjit(params, scache, nxt, pos + K)
+            np.asarray(toks_s)   # host consumes chunk N, like the SSE path
+            toks_s, pos = toks_next, pos + K
+        np.asarray(toks_s)
         rate = n_chunks * K / (time.perf_counter() - t0)
         w.section("streamed_chunk8_tokens_per_s", round(rate, 2))
         del scache
-        w.mark(f"streamed path {rate:.2f} tok/s")
+        w.mark(f"streamed path (pipelined) {rate:.2f} tok/s")
     except Exception as exc:  # noqa: BLE001
         w.mark(f"streamed section skipped: {exc}")
 

@@ -253,8 +253,12 @@ def run_generation(engine: InferenceEngine, prompt_input: PromptInput,
 
 def main(argv=None) -> int:
     args = parse_args(argv)
-    from llama_nuts_and_bolts_tpu.utils.compile_cache import enable_persistent_cache
+    from llama_nuts_and_bolts_tpu.utils.compile_cache import (
+        apply_env_platform,
+        enable_persistent_cache,
+    )
     enable_persistent_cache()
+    apply_env_platform()
     print("Welcome to Llama 3.1 Nuts and Bolts (TPU edition)!")
     print("=================================\n\n")
 

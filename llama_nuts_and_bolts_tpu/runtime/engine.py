@@ -376,6 +376,15 @@ class InferenceEngine:
         next_token = self._select_token(logits[0, 0])
 
         chunk_k = self._decode_chunk_size()
+        sampled = self.args.temperature > 0.0
+        temp = jnp.float32(self.args.temperature) if sampled else None
+        # pipelining: one chunk kept in flight. The NEXT chunk's input token
+        # is this chunk's last token ON DEVICE, so its dispatch needs no host
+        # sync — the host fetch/replay of chunk N then overlaps chunk N+1's
+        # device execution, hiding the per-chunk round-trip entirely. A stop
+        # token ending generation just abandons the in-flight chunk (its
+        # extra cache writes are never read).
+        pending = None  # (toks_dev, rng_dev|None, fed_pos)
         cur_pos = prompt_len
         while True:
             if vocab.is_stop(next_token):
@@ -387,18 +396,37 @@ class InferenceEngine:
             yield GenerationState.IN_PROGRESS, next_token
 
             if chunk_k > 1 and cur_pos + chunk_k < self.seq_len:
-                # one dispatch, k tokens; feed them out one at a time.
-                # a stop token mid-chunk simply ends the replay — the extra
-                # scanned positions are never read again.
-                step = jnp.asarray([[next_token]], dtype=jnp.int32)
-                if self.args.temperature > 0.0:
-                    toks, self._rng, cache = self._decode_chunk(
-                        chunk_k, sampled=True)(
-                        self.model.params, step, cur_pos, cache, self._rng,
-                        jnp.float32(self.args.temperature))
+                fn = self._decode_chunk(chunk_k, sampled=sampled)
+                if pending is not None:
+                    toks, rng, fed_pos = pending
+                    pending = None
+                    assert fed_pos == cur_pos, (fed_pos, cur_pos)
+                    if rng is not None:
+                        self._rng = rng
                 else:
-                    toks, cache = self._decode_chunk(chunk_k)(
-                        self.model.params, step, cur_pos, cache)
+                    step = jnp.asarray([[next_token]], dtype=jnp.int32)
+                    if sampled:
+                        toks, self._rng, cache = fn(
+                            self.model.params, step, cur_pos, cache,
+                            self._rng, temp)
+                    else:
+                        toks, cache = fn(self.model.params, step, cur_pos,
+                                         cache)
+                # dispatch the next chunk BEFORE fetching this one (its
+                # input is this chunk's last token, still on device); only
+                # when the next iteration would take the chunked branch
+                nxt_pos = cur_pos + chunk_k
+                if nxt_pos + chunk_k < self.seq_len:
+                    nxt_step = toks[-1:].reshape(1, 1)
+                    if sampled:
+                        p_toks, p_rng, cache = fn(
+                            self.model.params, nxt_step, nxt_pos, cache,
+                            self._rng, temp)
+                        pending = (p_toks, p_rng, nxt_pos)
+                    else:
+                        p_toks, cache = fn(self.model.params, nxt_step,
+                                           nxt_pos, cache)
+                        pending = (p_toks, None, nxt_pos)
                 chunk_tokens = np.asarray(toks).tolist()
                 cur_pos += 1
                 for i, tok in enumerate(chunk_tokens):

@@ -53,8 +53,12 @@ def main(argv=None) -> int:
                         "suffix (no effect in --continuous mode)")
     args = p.parse_args(argv)
 
-    from llama_nuts_and_bolts_tpu.utils.compile_cache import enable_persistent_cache
+    from llama_nuts_and_bolts_tpu.utils.compile_cache import (
+        apply_env_platform,
+        enable_persistent_cache,
+    )
     enable_persistent_cache()
+    apply_env_platform()
 
     mesh = None
     if args.tp and args.tp > 1:

@@ -33,3 +33,19 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return path
+
+
+def apply_env_platform() -> None:
+    """Make ``JAX_PLATFORMS`` from the environment actually take effect.
+
+    Some managed hosts register an accelerator PJRT plugin from
+    ``sitecustomize`` at interpreter startup and programmatically set
+    ``jax_platforms`` (e.g. ``"axon,cpu"``), silently overriding the
+    environment variable. Entry points call this right after importing jax
+    so ``JAX_PLATFORMS=cpu python -m …`` means what it says (the test
+    conftest does the same). No-op when the variable is unset.
+    """
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
