@@ -84,6 +84,22 @@ class KVCache:
                        v_scale=jnp.zeros(shape[:-1], jnp.bfloat16))
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
+    def truncated(self, max_seq: int) -> "KVCache":
+        """An independent copy of the first ``max_seq`` positions (a full
+        copy when the buffer is already no longer). Used when a prefix-cache
+        snapshot (sized at the engine context) seeds a request whose cache
+        bucket is smaller — the copy keeps the snapshot immutable against
+        the decode loop's donation."""
+        if max_seq >= self.max_seq:
+            return jax.tree_util.tree_map(jnp.copy, self)
+        k = jnp.copy(self.k[:, :, :, :max_seq, :])
+        v = jnp.copy(self.v[:, :, :, :max_seq, :])
+        if self.k_scale is None:
+            return KVCache(k=k, v=v)
+        return KVCache(k=k, v=v,
+                       k_scale=jnp.copy(self.k_scale[..., :max_seq]),
+                       v_scale=jnp.copy(self.v_scale[..., :max_seq]))
+
     @property
     def max_seq(self) -> int:
         return self.k.shape[3]

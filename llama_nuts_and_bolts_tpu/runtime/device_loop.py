@@ -92,8 +92,11 @@ def generate_block(engine, prompt_tokens: Sequence[int],
         raise ValueError("prompt longer than context")
     max_new = min(max_new_tokens, engine.seq_len - prompt_len)
 
-    cache = engine.new_cache(1)
-    bucket = prefill_bucket(prompt_len, engine.seq_len)
+    # request-bucketed cache buffer: step cost tracks buffer size, not
+    # attended length (engine.cache_bucket)
+    cache_len = engine.cache_bucket(prompt_len, max_new)
+    cache = engine.new_cache(1, cache_len)
+    bucket = prefill_bucket(prompt_len, cache_len)
     padded = np.zeros((1, bucket), dtype=np.int32)
     padded[0, :prompt_len] = prompt_tokens
     logits, cache = engine._fwd(engine.model.params, cfg, jnp.asarray(padded), 0,

@@ -110,16 +110,37 @@ class InferenceEngine:
     def token_batch_to_debug_string(self, token_ids) -> str:
         return self.model.vocab.debug_string(token_ids)
 
-    def new_cache(self, batch: int = 1) -> KVCache:
+    def new_cache(self, batch: int = 1, max_seq: Optional[int] = None) -> KVCache:
         """Fresh KV cache honoring ``args.kv_cache_dtype`` (bf16 | int8);
-        kv-head-sharded over the engine's mesh when one is active."""
+        kv-head-sharded over the engine's mesh when one is active.
+        ``max_seq`` bounds the buffer below the engine context (request
+        bucketing — see cache_bucket)."""
         dtype = jnp.int8 if self.args.kv_cache_dtype == "int8" else jnp.bfloat16
-        cache = KVCache.create(self.model.cfg, batch, self.seq_len, dtype=dtype)
+        cache = KVCache.create(self.model.cfg, batch, max_seq or self.seq_len,
+                               dtype=dtype)
         if self.mesh is not None:
             from llama_nuts_and_bolts_tpu.parallel import shard_cache
 
             cache = shard_cache(cache, self.mesh)
         return cache
+
+    def cache_bucket(self, prompt_len: int, max_new_tokens: Optional[int]) -> int:
+        """Cache-buffer length for a request: the smallest power-of-two-ish
+        bucket holding ``prompt + max_new`` (capped at the engine context).
+
+        Measured on v5e: a decode step's cost tracks the cache BUFFER size,
+        not the attended length (masked positions are still read by the
+        static-shape attention), so an 8K-context server sizing every
+        request's cache at 8K decodes a max_tokens=100 request ~30% slower
+        than it needs to. One executable per bucket; buckets are powers of
+        two from 256, so at most log2(context/256)+1 exist."""
+        if max_new_tokens is None:
+            return self.seq_len
+        need = prompt_len + max_new_tokens + 2
+        b = 256
+        while b < need:
+            b *= 2
+        return min(b, self.seq_len)
 
     def _kernels_viable(self) -> bool:
         aligned = self.model.cfg.head_dim % 128 == 0
@@ -257,9 +278,11 @@ class InferenceEngine:
             start_pos += done
         n = len(tokens)
         # cap by the cache room left past start_pos, not the whole cache —
-        # a tail/suffix at start_pos>0 must not let padding spill off the end
-        bucket = prefill_bucket(n, self.seq_len - start_pos)
-        if start_pos + bucket > self.seq_len or n > bucket:
+        # a tail/suffix at start_pos>0 must not let padding spill off the
+        # end (the cache buffer may be a request bucket < seq_len)
+        cache_room = cache.max_seq
+        bucket = prefill_bucket(n, cache_room - start_pos)
+        if start_pos + bucket > cache_room or n > bucket:
             raise ValueError("prefill bucket exceeds cache length")
         padded = np.zeros((1, bucket), dtype=np.int32)
         padded[0, :n] = tokens
@@ -267,15 +290,19 @@ class InferenceEngine:
                          start_pos, cache, attn_impl=self._attn_impl(bucket),
                          logits_at=n - 1, mesh=self.mesh)
 
-    def _prefill(self, prompt_tokens: Sequence[int]) -> Tuple[jnp.ndarray, KVCache]:
+    def _prefill(self, prompt_tokens: Sequence[int],
+                 cache_len: Optional[int] = None) -> Tuple[jnp.ndarray, KVCache]:
         """Bucketed-padded prefill; returns logits at the last prompt row.
-        Reuses the longest cached prefix snapshot when one matches."""
+        Reuses the longest cached prefix snapshot when one matches.
+        ``cache_len`` sizes the request's cache buffer (default: the full
+        engine context)."""
         prompt_len = len(prompt_tokens)
         if prompt_len >= self.seq_len:
             raise ValueError(
                 f"context sequence length {self.seq_len} must be higher than "
                 f"prompt tokens length {prompt_len}"
             )
+        cache_len = cache_len or self.seq_len
         prefix = self._match_prefix(prompt_tokens)
         if prefix is not None:
             plen = len(prefix)
@@ -283,14 +310,15 @@ class InferenceEngine:
                 # prompt == prefix: re-run its last token for the logits row
                 plen -= 1
             suffix = list(prompt_tokens[plen:])
-            # always fits: plen + len(suffix) = prompt_len < seq_len, and
+            # always fits: plen + len(suffix) = prompt_len < cache_len, and
             # _run_prefill caps the suffix bucket at the remaining cache room
-            cache = jax.tree_util.tree_map(jnp.copy, self._prefix_cache[prefix])
+            cache = self._prefix_cache[prefix].truncated(cache_len)
             self.log("Prefix cache hit: %d of %d prompt tokens reused",
                      plen, prompt_len)
             return self._run_prefill(suffix, cache, plen)
         self.log("Running prefill: prompt_len=%d", prompt_len)
-        return self._run_prefill(list(prompt_tokens), self.new_cache(1), 0)
+        return self._run_prefill(list(prompt_tokens),
+                                 self.new_cache(1, cache_len), 0)
 
     def _decode_chunk_size(self) -> int:
         """Resolve args.decode_chunk: 0 = auto (amortize dispatches only on
@@ -355,7 +383,8 @@ class InferenceEngine:
         return self._chunk_fns[cache_key]
 
     def generate_tokens(
-        self, prompt_tokens: Sequence[int]
+        self, prompt_tokens: Sequence[int],
+        max_new_tokens: Optional[int] = None,
     ) -> Iterator[Tuple[GenerationState, int]]:
         """Greedy/sampled autoregressive generation, one token per yield.
 
@@ -364,15 +393,40 @@ class InferenceEngine:
         the single-step program, and the sampled variant splits the RNG key
         per step exactly like the per-token loop) and replays each chunk's
         tokens one at a time, so detokenizer waiting-bytes state and console
-        semantics are untouched. The seq-len tail runs per-token.
+        semantics are untouched. The horizon tail runs per-token.
+
+        ``max_new_tokens`` both caps the stream and — the perf point —
+        shrinks the request's cache BUFFER to a bucket (cache_bucket): a
+        decode step's cost tracks buffer size, not attended length, so a
+        long-context engine serving short-budget requests decodes them at
+        short-context speed. Tokens are identical to an uncapped run's
+        prefix. (The speculative path keeps the full-context cache.)
         """
-        if self.args.speculate_k > 0 and self.args.temperature == 0.0:
-            yield from self._generate_tokens_speculative(prompt_tokens)
+        if max_new_tokens is not None and max_new_tokens <= 0:
             return
+        if self.args.speculate_k > 0 and self.args.temperature == 0.0:
+            it = self._generate_tokens_speculative(prompt_tokens)
+        else:
+            cache_len = self.cache_bucket(len(prompt_tokens), max_new_tokens)
+            it = self._generate_tokens_plain(prompt_tokens, cache_len)
+        if max_new_tokens is None:
+            yield from it
+            return
+        n = 0
+        for state, tok in it:
+            n += 1
+            yield state, tok
+            if n >= max_new_tokens or state != GenerationState.IN_PROGRESS:
+                return
+
+    def _generate_tokens_plain(
+        self, prompt_tokens: Sequence[int], cache_len: int
+    ) -> Iterator[Tuple[GenerationState, int]]:
         cfg = self.model.cfg
         prompt_len = len(prompt_tokens)
         vocab = self.model.vocab
-        logits, cache = self._prefill(prompt_tokens)
+        horizon = min(self.seq_len, cache_len)
+        logits, cache = self._prefill(prompt_tokens, cache_len)
         next_token = self._select_token(logits[0, 0])
 
         chunk_k = self._decode_chunk_size()
@@ -390,12 +444,12 @@ class InferenceEngine:
             if vocab.is_stop(next_token):
                 yield GenerationState.FINISHED_BY_REACHING_EOS, next_token
                 return
-            if cur_pos + 1 >= self.seq_len:
+            if cur_pos + 1 >= horizon:
                 yield GenerationState.FINISHED_BY_REACHING_SEQ_LEN, next_token
                 return
             yield GenerationState.IN_PROGRESS, next_token
 
-            if chunk_k > 1 and cur_pos + chunk_k < self.seq_len:
+            if chunk_k > 1 and cur_pos + chunk_k < horizon:
                 fn = self._decode_chunk(chunk_k, sampled=sampled)
                 if pending is not None:
                     toks, rng, fed_pos = pending
@@ -416,7 +470,7 @@ class InferenceEngine:
                 # input is this chunk's last token, still on device); only
                 # when the next iteration would take the chunked branch
                 nxt_pos = cur_pos + chunk_k
-                if nxt_pos + chunk_k < self.seq_len:
+                if nxt_pos + chunk_k < horizon:
                     nxt_step = toks[-1:].reshape(1, 1)
                     if sampled:
                         p_toks, p_rng, cache = fn(
@@ -436,7 +490,7 @@ class InferenceEngine:
                     if vocab.is_stop(next_token):
                         yield GenerationState.FINISHED_BY_REACHING_EOS, next_token
                         return
-                    if cur_pos + 1 >= self.seq_len:
+                    if cur_pos + 1 >= horizon:
                         yield (GenerationState.FINISHED_BY_REACHING_SEQ_LEN,
                                next_token)
                         return

@@ -245,7 +245,10 @@ class LlamaHTTPServer:
                     # bytes as <0xNN> literals, exactly like the batcher
                     # stream and the block path (_render_block) do
                     n = 0
-                    for state, tok in self.engine.generate_tokens(tokens):
+                    # max_new_tokens both caps the stream and buckets the
+                    # request's cache buffer (engine.cache_bucket)
+                    for state, tok in self.engine.generate_tokens(
+                            tokens, max_new_tokens=max_tokens):
                         n += 1
                         stats["tokens"] = n
                         yield state, tok

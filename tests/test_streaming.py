@@ -453,3 +453,75 @@ def test_chunked_decode_under_tensor_parallelism():
     eng = InferenceEngine(model, InferenceArgs(sequence_length=16,
                                                decode_chunk=4), mesh=mesh)
     assert list(eng.generate_tokens([1, 5, 9])) == ref
+
+
+# -------------------------------------------------- request cache bucketing
+
+
+def test_max_new_tokens_caps_stream_exactly():
+    prompt = [1, 5, 9]
+    full = list(make_engine(sequence_length=48).generate_tokens(prompt))
+    for m in (1, 3, 5):
+        capped = list(make_engine(sequence_length=48)
+                      .generate_tokens(prompt, max_new_tokens=m))
+        assert capped == full[:m]
+    assert list(make_engine(sequence_length=48)
+                .generate_tokens(prompt, max_new_tokens=0)) == []
+
+
+def test_max_new_tokens_buckets_cache_buffer():
+    """A long-context engine serving a short-budget request must allocate a
+    SMALL cache buffer (the measured perf point: step cost tracks buffer
+    size, not attended length)."""
+    cfg = TINY.with_(max_sequence_length=1024)
+    params = jax.jit(init_random_params, static_argnums=(0,))(
+        cfg, jax.random.PRNGKey(0))
+    model = LoadedModel(params=params, cfg=cfg, vocab=VOCAB,
+                        mergeable_ranks=RANKS, tensor_meta={})
+
+    def engine():
+        return InferenceEngine(model, InferenceArgs(sequence_length=600))
+
+    eng = engine()
+    assert eng.cache_bucket(3, 5) == 256
+    assert eng.cache_bucket(3, None) == 600
+    assert eng.cache_bucket(250, 100) == 512
+    assert eng.cache_bucket(500, 600) == 600   # capped at the context
+
+    sizes = []
+    eng2 = engine()
+    orig = eng2.new_cache
+
+    def spy(batch=1, max_seq=None):
+        sizes.append(max_seq or eng2.seq_len)
+        return orig(batch, max_seq)
+
+    eng2.new_cache = spy
+    capped = list(eng2.generate_tokens([1, 5, 9], max_new_tokens=4))
+    assert sizes == [256], sizes
+    # tokens identical to the full-buffer run's prefix
+    eng3 = engine()
+    full = []
+    for i, st in enumerate(eng3.generate_tokens([1, 5, 9])):
+        full.append(st)
+        if i >= 3:
+            break
+    assert capped == full[:4]
+
+
+def test_bucketed_cache_with_prefix_snapshot():
+    """Prefix-cache snapshots (sized at the engine context) seed bucketed
+    requests via truncation; output equals the cold run."""
+    cfg = TINY.with_(max_sequence_length=1024)
+    params = jax.jit(init_random_params, static_argnums=(0,))(
+        cfg, jax.random.PRNGKey(0))
+    model = LoadedModel(params=params, cfg=cfg, vocab=VOCAB,
+                        mergeable_ranks=RANKS, tensor_meta={})
+    eng = InferenceEngine(model, InferenceArgs(sequence_length=600))
+    prompt = [1, 5, 9, 2, 7]
+    cold = list(eng.generate_tokens(prompt, max_new_tokens=4))
+    eng.cache_prefix(prompt[:3])
+    warm = list(eng.generate_tokens(prompt, max_new_tokens=4))
+    assert warm == cold
+    # the snapshot itself must stay intact for a second use
+    assert list(eng.generate_tokens(prompt, max_new_tokens=4)) == cold
