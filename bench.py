@@ -44,6 +44,10 @@ TINY_MODE = bool(os.environ.get("LNB_BENCH_TINY"))
 
 # ------------------------------------------------------------------- parent
 
+# the stage subprocess currently in flight (so the deadline handler can kill
+# it instead of orphaning it against the shared device)
+_CURRENT_STAGE: dict = {}
+
 
 def _emit(results: dict) -> None:
     print(json.dumps({
@@ -108,6 +112,7 @@ def _run_stage(stage: str, budget_s: float, results: dict,
             [sys.executable, os.path.abspath(__file__),
              "--stage", stage, "--out", out.name],
             stdout=sys.stderr, stderr=sys.stderr, cwd=REPO)
+        _CURRENT_STAGE["proc"] = proc
         extended = False
         while True:
             elapsed = time.perf_counter() - t0
@@ -154,6 +159,11 @@ def parent_main() -> None:
         print("bench: parent wall-clock deadline hit; emitting "
               f"{sorted(results.get('detail', {}))}", file=sys.stderr,
               flush=True)
+        # kill the in-flight stage first: an orphaned child keeps queuing
+        # device work, worsening the tunnel stall for the NEXT bench run
+        proc = _CURRENT_STAGE.get("proc")
+        if proc is not None and proc.poll() is None:
+            proc.kill()
         _emit(results)
         os._exit(0)
 

@@ -182,8 +182,18 @@ class InferenceEngine:
         import time
 
         candidates = ["xla"]
-        if self._kernels_viable():
+        # same platform gate as the auto rules: the Pallas kernels are TPU
+        # programs (CPU would probe them in glacial interpret mode; GPU
+        # fails to lower), so off-TPU the probe has one candidate
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        if on_tpu and self._kernels_viable():
             candidates.append("flash")
+        if len(candidates) == 1:
+            self._probed_decode_impl = candidates[0]
+            self._probe_timings = {candidates[0]: 0.0}
+            self.log("attn-impl probe: only %r viable at this config",
+                     candidates[0])
+            return candidates[0]
         timings: Dict[str, float] = {}
         # probe mid-cache: attention cost at seq_len/2 is representative of
         # a typical decode step; position 0 would flatter short-context impls
@@ -226,6 +236,9 @@ class InferenceEngine:
     # ------------------------------------------------------- prefix caching
 
     MAX_CACHED_PREFIXES = 4
+    # decode-chunk executables kept (FIFO): greedy needs 1 per chunk size;
+    # sampled adds one per distinct (top_k, top_p)
+    MAX_CHUNK_EXECUTABLES = 8
 
     def cache_prefix(self, prefix_tokens: Sequence[int]) -> None:
         """Prefill ``prefix_tokens`` once and snapshot the KV state: any later
@@ -339,6 +352,13 @@ class InferenceEngine:
         any value); top_k/top_p are shape-affecting and stay static."""
         cache_key = ((k, "s", self.args.top_k, self.args.top_p) if sampled
                      else (k, "g"))
+        if cache_key in self._chunk_fns:
+            return self._chunk_fns[cache_key]
+        # sampled keys carry client-controlled top_k/top_p: bound the
+        # executable cache so a client cycling values can't grow it (or
+        # trigger compile storms that retain every program) without limit
+        while len(self._chunk_fns) >= self.MAX_CHUNK_EXECUTABLES:
+            self._chunk_fns.pop(next(iter(self._chunk_fns)))
         if cache_key not in self._chunk_fns:
             from jax import lax
 
@@ -406,26 +426,33 @@ class InferenceEngine:
             return
         if self.args.speculate_k > 0 and self.args.temperature == 0.0:
             it = self._generate_tokens_speculative(prompt_tokens)
-        else:
-            cache_len = self.cache_bucket(len(prompt_tokens), max_new_tokens)
-            it = self._generate_tokens_plain(prompt_tokens, cache_len)
-        if max_new_tokens is None:
-            yield from it
-            return
-        n = 0
-        for state, tok in it:
-            n += 1
-            yield state, tok
-            if n >= max_new_tokens or state != GenerationState.IN_PROGRESS:
+            if max_new_tokens is None:
+                yield from it
                 return
+            n = 0
+            for state, tok in it:
+                n += 1
+                yield state, tok
+                if n >= max_new_tokens or state != GenerationState.IN_PROGRESS:
+                    return
+            return
+        cache_len = self.cache_bucket(len(prompt_tokens), max_new_tokens)
+        # the cap lives INSIDE the plain generator (not a wrapper): a capped
+        # sampled run ending mid-chunk must rewind the RNG to the per-token
+        # state, which only the chunk replay loop can account for
+        yield from self._generate_tokens_plain(prompt_tokens, cache_len,
+                                               max_new_tokens)
 
     def _generate_tokens_plain(
-        self, prompt_tokens: Sequence[int], cache_len: int
+        self, prompt_tokens: Sequence[int], cache_len: int,
+        max_new_tokens: Optional[int] = None,
     ) -> Iterator[Tuple[GenerationState, int]]:
         cfg = self.model.cfg
         prompt_len = len(prompt_tokens)
         vocab = self.model.vocab
         horizon = min(self.seq_len, cache_len)
+        cap = max_new_tokens if max_new_tokens is not None else float("inf")
+        emitted = 0
         logits, cache = self._prefill(prompt_tokens, cache_len)
         next_token = self._select_token(logits[0, 0])
 
@@ -448,9 +475,15 @@ class InferenceEngine:
                 yield GenerationState.FINISHED_BY_REACHING_SEQ_LEN, next_token
                 return
             yield GenerationState.IN_PROGRESS, next_token
+            emitted += 1
+            if emitted >= cap:
+                # cap hit at a chunk boundary (or per-token step): any
+                # consumed chunk is fully accounted, self._rng is exact
+                return
 
             if chunk_k > 1 and cur_pos + chunk_k < horizon:
                 fn = self._decode_chunk(chunk_k, sampled=sampled)
+                rng_before = self._rng  # pre-chunk state, for mid-chunk exit
                 if pending is not None:
                     toks, rng, fed_pos = pending
                     pending = None
@@ -487,14 +520,27 @@ class InferenceEngine:
                     next_token = int(tok)
                     if i + 1 == len(chunk_tokens):
                         break  # loop head handles the last one
+                    terminal = None
                     if vocab.is_stop(next_token):
-                        yield GenerationState.FINISHED_BY_REACHING_EOS, next_token
-                        return
-                    if cur_pos + 1 >= horizon:
-                        yield (GenerationState.FINISHED_BY_REACHING_SEQ_LEN,
-                               next_token)
+                        terminal = GenerationState.FINISHED_BY_REACHING_EOS
+                    elif cur_pos + 1 >= horizon:
+                        terminal = GenerationState.FINISHED_BY_REACHING_SEQ_LEN
+                    if terminal is not None or emitted + 1 >= cap:
+                        if sampled:
+                            # generation ends mid-chunk: the chunk consumed
+                            # k RNG splits but per-token decoding would have
+                            # consumed i+1 — rewind so a later unseeded
+                            # request on this engine sees the exact
+                            # per-token RNG state
+                            rng = rng_before
+                            for _ in range(i + 1):
+                                rng, _key = jax.random.split(rng)
+                            self._rng = rng
+                        yield (terminal if terminal is not None
+                               else GenerationState.IN_PROGRESS), next_token
                         return
                     yield GenerationState.IN_PROGRESS, next_token
+                    emitted += 1
                     cur_pos += 1
                 continue
 

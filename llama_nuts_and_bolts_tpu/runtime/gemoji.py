@@ -1740,6 +1740,18 @@ def alias_table() -> Dict[str, str]:
                 seq = (left + ltone + _ZWJ + "\U0001F91D" + _ZWJ
                        + right + rtone)
                 _insert(t, seq, f"{pair_alias}_{ltone_alias}_{rtone_alias}")
+    # people holding hands (1F9D1 pair): the base itself is a ZWJ sequence,
+    # so ALL tone combinations are ZWJ forms — equal tones use the single
+    # CLDR suffix ("people holding hands: medium skin tone"), mixed use both
+    _insert(t, "\U0001F9D1" + _ZWJ + "\U0001F91D" + _ZWJ + "\U0001F9D1",
+            "people_holding_hands")
+    for ltone, ltone_alias in _TONES:
+        for rtone, rtone_alias in _TONES:
+            seq = ("\U0001F9D1" + ltone + _ZWJ + "\U0001F91D" + _ZWJ
+                   + "\U0001F9D1" + rtone)
+            suffix = (ltone_alias if ltone == rtone
+                      else f"{ltone_alias}_{rtone_alias}")
+            _insert(t, seq, f"people_holding_hands_{suffix}")
     for ch, alias in _KEYCAPS:
         _insert(t, ch + _VS16 + "\u20E3", alias)
     for parent_alias, parents in _PARENT_COMBOS:

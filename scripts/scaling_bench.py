@@ -73,16 +73,34 @@ def launch_multihost(argv, n_proc: int, out_path: str, local_devices: int) -> in
         "XLA_FLAGS": f"--xla_force_host_platform_device_count={local_devices}",
     }
     cmd = [sys.executable, os.path.abspath(__file__), "--cpu-mesh"] + argv
-    procs = []
+    # workers run a LOCKSTEP distributed group: draining their pipes
+    # sequentially can deadlock (a later worker blocking on a full 64KB pipe
+    # stalls its collectives, stalling the one being waited on) — give each
+    # worker a FILE instead, read after exit
+    import tempfile
+
+    procs, files = [], []
     for pid in range(n_proc):
+        f = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+        files.append(f)
         procs.append(subprocess.Popen(
             cmd, env=dict(env_base, PROC=str(pid)),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+            stdout=f, stderr=subprocess.STDOUT, text=True))
     outs, rc = [], 0
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-        rc |= p.returncode
+    try:
+        for p in procs:
+            p.wait(timeout=600)
+            rc |= p.returncode
+    except subprocess.TimeoutExpired:
+        rc = rc or 1
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for f in files:
+        f.seek(0)
+        outs.append(f.read())
+        f.close()
     report = None
     for line in outs[0].splitlines():
         try:

@@ -133,3 +133,19 @@ def test_streamed_keycap_matches_reference_byte_routing():
     assert final.startswith("1️⃣"), final
     assert "[:VARIATION SELECTOR-16:\\U0000FE0F]" in final, final
     assert "[:COMBINING ENCLOSING KEYCAP:\\U000020E3]" in final, final
+
+
+def test_people_holding_hands_all_combos():
+    base = "\U0001F9D1‍\U0001F91D‍\U0001F9D1"
+    assert lookup(base) == ":people_holding_hands:"
+    # equal tones: single CLDR suffix
+    seq = "\U0001F9D1\U0001F3FD‍\U0001F91D‍\U0001F9D1\U0001F3FD"
+    assert lookup(seq) == ":people_holding_hands_medium_skin_tone:"
+    # mixed tones: both suffixes, left then right
+    seq = "\U0001F9D1\U0001F3FB‍\U0001F91D‍\U0001F9D1\U0001F3FF"
+    assert lookup(seq) == \
+        ":people_holding_hands_light_skin_tone_dark_skin_tone:"
+    t = alias_table()
+    combos = [k for k in t
+              if k.startswith("\U0001F9D1") and "\U0001F91D" in k]
+    assert len(combos) == 26  # untoned + 25 tone combinations

@@ -386,9 +386,10 @@ def test_chunked_decode_dispatch_count():
         calls["n"] += 1
         return real(*a, **kw)
 
-    eng._chunk_fns[4] = counting
+    eng._chunk_fns[(4, "g")] = counting
     out = list(eng.generate_tokens([1, 5, 9]))
     n_decoded = len(out)
+    assert calls["n"] > 0, "chunk path never engaged"
     assert calls["n"] <= (n_decoded // 4) + 2
 
 
