@@ -526,3 +526,19 @@ def test_bucketed_cache_with_prefix_snapshot():
     assert warm == cold
     # the snapshot itself must stay intact for a second use
     assert list(eng.generate_tokens(prompt, max_new_tokens=4)) == cold
+
+
+def test_sampled_rng_state_exact_after_mid_chunk_end():
+    """A sampled request ending mid-chunk (cap or stop) must leave the
+    engine RNG where per-token decoding would have: a SECOND unseeded
+    request on the same engine is identical across decode_chunk settings."""
+    def two_requests(chunk):
+        eng = make_engine(sequence_length=32, temperature=0.9, seed=11,
+                          decode_chunk=chunk)
+        a = list(eng.generate_tokens([1, 5, 9], max_new_tokens=3))
+        b = list(eng.generate_tokens([2, 4], max_new_tokens=6))
+        return a, b
+
+    ref = two_requests(1)
+    for k in (4, 8):
+        assert two_requests(k) == ref, f"chunk={k}"
