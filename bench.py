@@ -241,6 +241,13 @@ def _stage_setup(w: StageWriter):
     import jax.numpy as jnp
     import numpy as np
 
+    # is ttft_cold_s below a process-cold / compile-cache-warm number?
+    cache_dir = jax.config.jax_compilation_cache_dir
+    try:
+        w.section("compile_cache_warm",
+                  bool(cache_dir) and bool(os.listdir(cache_dir)))
+    except OSError:
+        w.section("compile_cache_warm", False)
     w.mark("probing device (first RPC may stall on a cold tunnel)")
     t0 = time.perf_counter()
     dev = jax.devices()[0]
