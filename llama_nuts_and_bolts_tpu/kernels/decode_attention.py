@@ -33,6 +33,68 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _decode_kernel_blocked(start_pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                           o_ref, acc_ref, m_ref, l_ref,
+                           *, block_k: int, groups: int, head_dim: int,
+                           scale: float, quantized: bool, nkb: int):
+    """One grid step = one block_k cache tile of one (batch, kv_head).
+
+    The k-tile axis is the innermost grid dimension, so each tile's DMA
+    overlaps the previous tile's compute (the whole-head variant below DMAs
+    the full [T, D] head before computing), and the index map re-targets
+    every INVISIBLE tile (beyond start_pos) to block 0 — Pallas skips the
+    DMA for a repeated index, so masked cache slots are never read and the
+    step's HBM traffic is ∝ position, not buffer size. Online-softmax
+    state lives in VMEM scratch across the tile iterations."""
+    start_pos = start_pos_ref[0]
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(kb * block_k <= start_pos)
+    def _compute():
+        q = q_ref[0, 0].reshape(groups, head_dim)
+
+        def tile(ref, s_ref):
+            t = ref[0, 0]
+            if quantized:
+                s = s_ref[0, 0, 0].astype(jnp.float32)
+                t = (t.astype(jnp.float32) * s.reshape(block_k, 1))
+                t = t.astype(jnp.bfloat16)
+            return t                                     # [block_k, D] bf16
+
+        k_tile = tile(k_ref, ks_ref)
+        v_tile = tile(v_ref, vs_ref)
+        s = lax.dot_general(
+            q, k_tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                        # [G, block_k]
+        k_pos = kb * block_k + lax.broadcasted_iota(
+            jnp.int32, (groups, block_k), 1)
+        s = jnp.where(k_pos <= start_pos, s, NEG_INF)
+
+        m = m_ref[...]
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = lax.dot_general(
+            p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * corr + pv
+        m_ref[...] = m_new
+
+    @pl.when(kb == nkb - 1)
+    def _fin():
+        out = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0, 0] = out.reshape(1, groups, head_dim).astype(o_ref.dtype)
+
+
 def _decode_kernel(start_pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
                    *, block_k: int, groups: int, head_dim: int, scale: float,
                    quantized: bool):
@@ -98,9 +160,16 @@ def flash_decode_attention(
     scale: float | None = None,
     block_k: int = 512,
     interpret: bool | None = None,
+    blocked: bool = True,
 ) -> jnp.ndarray:
     """Returns [B, 1, H, D] in q.dtype. The query attends slots ≤ start_pos
-    (which includes its own just-written row)."""
+    (which includes its own just-written row).
+
+    ``blocked=True`` (default) runs the tiled-grid kernel: per-tile DMA
+    overlaps compute and invisible tiles (beyond ``start_pos``) are never
+    read from HBM, so a step's cache traffic is proportional to the
+    position rather than the buffer size. ``blocked=False`` keeps the
+    original whole-head-block kernel."""
     if interpret is None:
         # compiled on TPU, interpreter on CPU (CPU-mesh tests)
         interpret = jax.devices()[0].platform == "cpu"
@@ -119,17 +188,66 @@ def flash_decode_attention(
 
     if not quantized:
         # uniform kernel signature: feed dummy scales (never read)
-        k_scale = jnp.zeros((B, KV, 128), jnp.bfloat16)
-        v_scale = jnp.zeros((B, KV, 128), jnp.bfloat16)
+        k_scale = jnp.zeros((B, KV, block_k if blocked else 128), jnp.bfloat16)
+        v_scale = jnp.zeros((B, KV, block_k if blocked else 128), jnp.bfloat16)
     s_len = k_scale.shape[2]
     k_scale = k_scale.reshape(B, KV, 1, s_len)
     v_scale = v_scale.reshape(B, KV, 1, s_len)
 
     qg = q.reshape(B, 1, KV, G, D)
+    start_arr = jnp.asarray(start_pos, jnp.int32).reshape(1)
+
+    if blocked:
+        nkb = T // block_k
+        kernel = functools.partial(
+            _decode_kernel_blocked, block_k=block_k, groups=G, head_dim=D,
+            scale=scale, quantized=quantized, nkb=nkb)
+
+        def kv_index(b, kv, kb, sp_ref):
+            # invisible tiles re-map to block 0: a repeated index means no
+            # new DMA, so cache slots past start_pos are never read
+            vis = kb * block_k <= sp_ref[0]
+            return (b, kv, jnp.where(vis, kb, 0), 0)
+
+        def scale_index(b, kv, kb, sp_ref):
+            if not quantized:
+                return (b, kv, 0, 0)   # dummy block; never read
+            vis = kb * block_k <= sp_ref[0]
+            return (b, kv, 0, jnp.where(vis, kb, 0))
+
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, KV, nkb),
+                in_specs=[
+                    pl.BlockSpec((1, 1, 1, G, D),
+                                 lambda b, kv, kb, sp: (b, 0, kv, 0, 0)),
+                    pl.BlockSpec((1, 1, block_k, D), kv_index),
+                    pl.BlockSpec((1, 1, block_k, D), kv_index),
+                    pl.BlockSpec((1, 1, 1, block_k if quantized else s_len),
+                                 scale_index),
+                    pl.BlockSpec((1, 1, 1, block_k if quantized else s_len),
+                                 scale_index),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, 1, G, D), lambda b, kv, kb, sp: (b, 0, kv, 0, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((G, D), jnp.float32),
+                    pltpu.VMEM((G, 1), jnp.float32),
+                    pltpu.VMEM((G, 1), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, 1, KV, G, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(start_arr, qg, k, v, k_scale, v_scale)
+        return out.reshape(B, 1, H, D)
+
     kernel = functools.partial(
         _decode_kernel, block_k=block_k, groups=G, head_dim=D, scale=scale,
         quantized=quantized)
-    start_arr = jnp.asarray(start_pos, jnp.int32).reshape(1)
 
     out = pl.pallas_call(
         kernel,

@@ -240,11 +240,7 @@ def forward(
     # single [in, out] matmuls — fewer, longer HBM streams per block
     fused = "wqkv" in params.layers
 
-    def block(x, scanned):
-        if quantized:
-            w, ck, cv, cks, cvs = scanned                         # ck/cv int8
-        else:
-            w, ck, cv = scanned                                   # ck/cv [B,KV,T,D]
+    def project_qkv(x, w):
         h = rms_norm(x, w["attn_norm"], cfg.norm_eps)
         if fused:
             qkv = linear_t(h, w["wqkv"])
@@ -258,15 +254,43 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin).transpose(0, 2, 1, 3)         # [B,KV,S,D]
         v = v.transpose(0, 2, 1, 3)
-        if attn_impl == "ring":
-            # sequence-parallel exact prefill attention over the CURRENT
-            # segment (whole-prompt prefill: no prior cache content). K/V
-            # still land in the cache below for the decode steps that follow.
-            from llama_nuts_and_bolts_tpu.parallel.ring_attention import (
-                ring_gqa_attention,
-            )
+        return q, k, v
 
-            att_ring = ring_gqa_attention(mesh, q, k, v, start_pos)
+    def ring_attention(q, k, v):
+        # sequence-parallel exact prefill attention over the CURRENT
+        # segment (whole-prompt prefill: no prior cache content). K/V
+        # still land in the cache for the decode steps that follow.
+        from llama_nuts_and_bolts_tpu.parallel.ring_attention import (
+            ring_gqa_attention,
+        )
+
+        return ring_gqa_attention(mesh, q, k, v, start_pos)
+
+    def finish_block(x, att, w):
+        if fused:
+            x = x + linear_t(att.reshape(B, S, H * D), w["wo"])
+            h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
+            gu = linear_t(h2, w["w_gate_up"])
+            F = cfg.ffn_hidden_dim
+            gate, up = gu[..., :F], gu[..., F:]
+            act = jax.nn.silu(gate.astype(jnp.float32)).astype(gu.dtype) * up
+            return x + linear_t(act, w["w_down"])
+        x = x + linear(att.reshape(B, S, H * D), w["wo"])
+        h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
+        return x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
+
+    def block(x, scanned):
+        """Per-row (vector start_pos) path: cache layers travel as scan
+        xs/ys. This stacks a full updated layer cache into the ys every
+        layer — fine at continuous-batching context lengths; the scalar
+        path below avoids it."""
+        if quantized:
+            w, ck, cv, cks, cvs = scanned                         # ck/cv int8
+        else:
+            w, ck, cv = scanned                                   # ck/cv [B,KV,T,D]
+        q, k, v = project_qkv(x, w)
+        if attn_impl == "ring":
+            att_ring = ring_attention(q, k, v)
         if quantized:
             kq, ks = quantize_kv_rows(k)                          # s: [B,KV,S]
             vq, vs = quantize_kv_rows(v)
@@ -279,26 +303,73 @@ def forward(
             cv = write(cv, v, start_pos)
             att = att_ring if attn_impl == "ring" else attend(q, ck, cv)
             out_carry = (ck, cv)
-        if fused:
-            x = x + linear_t(att.reshape(B, S, H * D), w["wo"])
-            h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
-            gu = linear_t(h2, w["w_gate_up"])
-            F = cfg.ffn_hidden_dim
-            gate, up = gu[..., :F], gu[..., F:]
-            act = jax.nn.silu(gate.astype(jnp.float32)).astype(gu.dtype) * up
-            x = x + linear_t(act, w["w_down"])
-        else:
-            x = x + linear(att.reshape(B, S, H * D), w["wo"])
-            h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
-            x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
-        return x, out_carry
+        return finish_block(x, att, w), out_carry
 
-    if quantized:
-        xs = (params.layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
-        x, (ck_new, cv_new, cks_new, cvs_new) = lax.scan(block, x, xs)
-        new_cache = KVCache(k=ck_new, v=cv_new, k_scale=cks_new, v_scale=cvs_new)
+    def block_carried(carry, w):
+        """Scalar start_pos path: the WHOLE cache rides the scan carry and
+        only the S new rows are written per layer (in place — XLA aliases
+        loop carries). The xs/ys formulation above instead re-materializes
+        every layer's full [B, KV, T, D] K and V into the stacked ys each
+        step — measured ~0.21 ms/layer of pure copy traffic at an 8K buffer
+        (docs/07-PERFORMANCE.md), which made decode cost track the cache
+        BUFFER size rather than the attended length."""
+        if quantized:
+            x, ck_all, cv_all, cks_all, cvs_all, li = carry
+        else:
+            x, ck_all, cv_all, li = carry
+        q, k, v = project_qkv(x, w)
+        if attn_impl == "ring":
+            att_ring = ring_attention(q, k, v)
+
+        def write_rows(buf, rows):
+            # rows [B,KV,S,...] -> buf [L,B,KV,T,...] at (li, 0, 0, pos, 0)
+            pad = (0,) * (rows.ndim - 3)
+            return lax.dynamic_update_slice(
+                buf, rows[None].astype(buf.dtype), (li, 0, 0, start_pos) + pad)
+
+        if quantized:
+            kq, ks = quantize_kv_rows(k)
+            vq, vs = quantize_kv_rows(v)
+            ck_all = write_rows(ck_all, kq)
+            cv_all = write_rows(cv_all, vq)
+            cks_all = write_rows(cks_all, ks)
+            cvs_all = write_rows(cvs_all, vs)
+            att = att_ring if attn_impl == "ring" else attend(
+                q, lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False),
+                lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False),
+                lax.dynamic_index_in_dim(cks_all, li, 0, keepdims=False),
+                lax.dynamic_index_in_dim(cvs_all, li, 0, keepdims=False))
+            new_carry = (finish_block(x, att, w), ck_all, cv_all,
+                         cks_all, cvs_all, li + 1)
+        else:
+            ck_all = write_rows(ck_all, k)
+            cv_all = write_rows(cv_all, v)
+            att = att_ring if attn_impl == "ring" else attend(
+                q, lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False),
+                lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False))
+            new_carry = (finish_block(x, att, w), ck_all, cv_all, li + 1)
+        return new_carry, None
+
+    if per_row:
+        if quantized:
+            xs = (params.layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
+            x, (ck_new, cv_new, cks_new, cvs_new) = lax.scan(block, x, xs)
+            new_cache = KVCache(k=ck_new, v=cv_new,
+                                k_scale=cks_new, v_scale=cvs_new)
+        else:
+            x, (ck_new, cv_new) = lax.scan(block, x,
+                                           (params.layers, cache.k, cache.v))
+            new_cache = KVCache(k=ck_new, v=cv_new)
+    elif quantized:
+        init = (x, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                jnp.int32(0))
+        (x, ck_new, cv_new, cks_new, cvs_new, _), _ = lax.scan(
+            block_carried, init, params.layers)
+        new_cache = KVCache(k=ck_new, v=cv_new,
+                            k_scale=cks_new, v_scale=cvs_new)
     else:
-        x, (ck_new, cv_new) = lax.scan(block, x, (params.layers, cache.k, cache.v))
+        (x, ck_new, cv_new, _), _ = lax.scan(
+            block_carried, (x, cache.k, cache.v, jnp.int32(0)), params.layers)
         new_cache = KVCache(k=ck_new, v=cv_new)
     if logits_at is not None:
         x = lax.dynamic_slice_in_dim(x, logits_at, 1, axis=1)     # [B,1,dim]
