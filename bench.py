@@ -176,13 +176,29 @@ def parent_main() -> None:
     # Headline first — it alone decides value/vs_baseline. Nominal budget
     # keeps room for a retry + the quant stage, but a pre-device stall
     # extends to nearly the whole budget: one process surviving the stall
-    # beats two processes each dying inside it.
+    # beats two processes each dying inside it, and fallback stages are
+    # provably doomed during an outage (each would re-pay the same stall),
+    # so the main stage gets their budget up front (cap = total - 5 s).
     _run_stage("main", min(400.0, left() - 40), results,
-               hard_cap_s=left() - 30)
-    if results.get("value") is None:
-        _run_stage("main_small", left() - 15, results)
-    if "full_8b_32L_int8_decode_tokens_per_s" not in results.get("detail", {}):
-        _run_stage("quant", left() - 10, results)
+               hard_cap_s=left() - 5)
+    detail = results.setdefault("detail", {})
+    if results.get("value") is None and "device" not in detail:
+        # killed while still waiting on its first device RPC: that is a
+        # TUNNEL OUTAGE, not a framework regression — record it as such and
+        # skip the fallback stages (a fresh process would re-enter the same
+        # stall; see first_rpc_wait_s for how long this one waited)
+        detail["outage"] = True
+        detail["outage_note"] = (
+            "main stage killed pre-first-device-RPC; fallback stages "
+            "skipped (each restarts the per-process tunnel stall)")
+        print("bench: outage — main stage never reached the device; "
+              "skipping doomed fallback stages", file=sys.stderr, flush=True)
+    else:
+        if results.get("value") is None:
+            _run_stage("main_small", left() - 15, results)
+        if ("full_8b_32L_int8_decode_tokens_per_s"
+                not in results.get("detail", {})):
+            _run_stage("quant", left() - 10, results)
     signal.alarm(0)
     _emit(results)
 
@@ -192,24 +208,38 @@ def parent_main() -> None:
 
 
 class StageWriter:
-    """Accumulates RESULTS and rewrites a full snapshot line per update."""
+    """Accumulates RESULTS and rewrites a full snapshot line per update.
+
+    Thread-safe: the pre-RPC outage watcher (see _stage_setup) writes
+    progress markers from a daemon thread while the main thread is blocked
+    inside the first device RPC."""
 
     def __init__(self, path: str):
+        import threading
+
         self.path = path
         self.results: dict = {"detail": {}}
         self.t0 = time.perf_counter()
+        self._lock = threading.Lock()
 
     def mark(self, what: str) -> None:
         print(f"bench: [{time.perf_counter() - self.t0:5.0f}s] {what}",
               file=sys.stderr, flush=True)
 
     def update(self, **top) -> None:
-        self.results.update(top)
-        with open(self.path, "a") as f:
-            f.write(json.dumps(self.results) + "\n")
+        with self._lock:
+            self.results.update(top)
+            with open(self.path, "a") as f:
+                f.write(json.dumps(self.results) + "\n")
 
     def section(self, name: str, value) -> None:
-        self.results["detail"][name] = value
+        with self._lock:
+            self.results["detail"][name] = value
+        self.update()
+
+    def drop_section(self, name: str) -> None:
+        with self._lock:
+            self.results["detail"].pop(name, None)
         self.update()
 
 
@@ -251,8 +281,30 @@ def _stage_setup(w: StageWriter):
     w.mark("probing device (first RPC may stall on a cold tunnel)")
     t0 = time.perf_counter()
     dev = jax.devices()[0]
-    # a real round-trip, not just backend init: 1-element compute + fetch
-    np.asarray((jnp.zeros((), jnp.int32) + 1))
+    # While the main thread is blocked inside the first RPC, a watcher
+    # thread stamps the elapsed wait into the snapshot every ~15 s — so a
+    # stage killed mid-stall leaves first_rpc_wait_s + outage:true in the
+    # record, making a null result attributable to the tunnel rather than
+    # indistinguishable from a perf regression.
+    import threading
+
+    probe_done = threading.Event()
+
+    def outage_watch():
+        while not probe_done.wait(15.0):
+            waited = time.perf_counter() - t0
+            w.section("first_rpc_wait_s", round(waited, 1))
+            w.section("outage", True)
+            w.mark(f"still waiting on first device RPC ({waited:.0f}s)")
+
+    threading.Thread(target=outage_watch, daemon=True).start()
+    try:
+        # a real round-trip, not just backend init: 1-element compute + fetch
+        np.asarray((jnp.zeros((), jnp.int32) + 1))
+    finally:
+        probe_done.set()
+    w.drop_section("first_rpc_wait_s")
+    w.drop_section("outage")
     w.section("first_rpc_s", round(time.perf_counter() - t0, 1))
     w.section("device", str(dev))
     w.mark(f"device ready: {dev}")
@@ -340,18 +392,21 @@ def stage_main(w: StageWriter, small: bool = False) -> None:
 
     fwd = jax.jit(forward, static_argnums=(1,), donate_argnums=(4,))
 
-    def decode_n(params, cache, tok, start_pos):
-        def body(carry, _):
-            tok, pos, cache = carry
-            logits, cache = forward(params, cfg, tok, pos, cache)
-            nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-            return (nxt, pos + 1, cache), nxt[:, 0]
+    def make_decode_n(steps):
+        def decode_n(params, cache, tok, start_pos):
+            def body(carry, _):
+                tok, pos, cache = carry
+                logits, cache = forward(params, cfg, tok, pos, cache)
+                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                return (nxt, pos + 1, cache), nxt[:, 0]
 
-        (tok, pos, cache), toks = lax.scan(
-            body, (tok, start_pos, cache), None, length=decode_steps)
-        return toks, cache
+            (tok, pos, cache), toks = lax.scan(
+                body, (tok, start_pos, cache), None, length=steps)
+            return toks, cache
 
-    decode_jit = jax.jit(decode_n, donate_argnums=(1,))
+        return decode_n
+
+    decode_jit = jax.jit(make_decode_n(decode_steps), donate_argnums=(1,))
     prompt = jnp.ones((1, PREFILL_LEN), dtype=jnp.int32)
 
     # -- warm-up: compile prefill + decode-scan programs -------------------
@@ -363,7 +418,29 @@ def stage_main(w: StageWriter, small: bool = False) -> None:
     sync(tok)
     ttft_cold = time.perf_counter() - t0
     w.section("ttft_cold_s", round(ttft_cold, 2))
+
+    # -- earliest possible headline: a SHORT scan lands a number minutes
+    # before the full warm-up completes in a marginal tunnel window; the
+    # 180-step sections below then refine it
+    short_steps = max(4, decode_steps // 6)
+    w.mark(f"compile short decode scan ({short_steps} steps)")
+    short_jit = jax.jit(make_decode_n(short_steps), donate_argnums=(1,))
+    toks, cache = short_jit(params, cache, tok, PREFILL_LEN)
+    sync(toks)  # compile
+    t0 = time.perf_counter()
+    toks, cache = short_jit(params, cache, tok, PREFILL_LEN + short_steps)
+    sync(toks)
+    early = short_steps / (time.perf_counter() - t0)
+    w.update(metric=metric, value=round(early, 2),
+             vs_baseline=round(early / roofline, 4))
+    w.section("decode_tokens_per_s_shortscan", round(early, 2))
+    w.mark(f"early provisional headline {early:.2f} tok/s")
+    del cache
+
     w.mark("compile decode scan")
+    cache = KVCache.create(cfg, 1, SEQ_CAP)
+    logits, cache = fwd(params, cfg, prompt, 0, cache)
+    tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
     toks, cache = decode_jit(params, cache, tok, PREFILL_LEN)
     sync(toks)
     del cache
