@@ -95,10 +95,11 @@ def parse_args(argv=None):
                         "micro-benchmark of each viable impl at the active "
                         "config; keeps the measured winner for decode)")
     p.add_argument("--decode-chunk", type=int, default=0, metavar="K",
-                   help="greedy streaming decodes K tokens per device "
-                        "dispatch (on-device scan, identical transcript); "
-                        "0 = auto: 8 on RPC-attached TPUs, per-token on "
-                        "host-attached devices")
+                   help="streaming (greedy or sampled) decodes K tokens per "
+                        "device dispatch (on-device scan, identical "
+                        "transcript; sampled runs keep their seeded RNG "
+                        "sequence); 0 = auto: 8 on RPC-attached TPUs, "
+                        "per-token on host-attached devices")
     p.add_argument("--tp", type=int, default=0, metavar="N",
                    help="tensor parallelism: shard the model over N devices "
                         "(Megatron column/row sharding, one psum per "

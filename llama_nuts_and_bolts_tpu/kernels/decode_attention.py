@@ -42,11 +42,15 @@ def _decode_kernel_blocked(start_pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     The k-tile axis is the innermost grid dimension, so each tile's DMA
     overlaps the previous tile's compute (the whole-head variant below DMAs
     the full [T, D] head before computing), and the index map re-targets
-    every INVISIBLE tile (beyond start_pos) to block 0 — Pallas skips the
-    DMA for a repeated index, so masked cache slots are never read and the
-    step's HBM traffic is ∝ position, not buffer size. Online-softmax
-    state lives in VMEM scratch across the tile iterations."""
-    start_pos = start_pos_ref[0]
+    every INVISIBLE tile (beyond start_pos) to the LAST VISIBLE block —
+    Pallas skips the DMA for a repeated index, so masked cache slots are
+    never read and the step's HBM traffic is ∝ position, not buffer size.
+    Online-softmax state lives in VMEM scratch across the tile iterations.
+
+    ``start_pos`` is a [B] prefetch-scalar vector — each batch row attends
+    up to its OWN position (continuous batching; a single-request decode
+    just broadcasts its scalar)."""
+    start_pos = start_pos_ref[pl.program_id(0)]
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -98,7 +102,7 @@ def _decode_kernel_blocked(start_pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 def _decode_kernel(start_pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
                    *, block_k: int, groups: int, head_dim: int, scale: float,
                    quantized: bool):
-    start_pos = start_pos_ref[0]
+    start_pos = start_pos_ref[pl.program_id(0)]
     t_total = k_ref.shape[2]
 
     q = q_ref[0, 0].reshape(groups, head_dim)            # [G, D] bf16
@@ -154,7 +158,7 @@ def flash_decode_attention(
     q: jnp.ndarray,        # [B, 1, H, D]
     k: jnp.ndarray,        # [B, KV, T, D] bf16 or int8
     v: jnp.ndarray,        # [B, KV, T, D]
-    start_pos,             # scalar int32: the query's position
+    start_pos,             # int32 scalar, or [B] vector of per-row positions
     k_scale=None,          # [B, KV, T] bf16 when k is int8
     v_scale=None,
     scale: float | None = None,
@@ -162,8 +166,9 @@ def flash_decode_attention(
     interpret: bool | None = None,
     blocked: bool = True,
 ) -> jnp.ndarray:
-    """Returns [B, 1, H, D] in q.dtype. The query attends slots ≤ start_pos
-    (which includes its own just-written row).
+    """Returns [B, 1, H, D] in q.dtype. Each query attends slots ≤ its
+    start_pos (which includes its own just-written row); a [B] ``start_pos``
+    gives every batch row its own position (continuous batching).
 
     ``blocked=True`` (default) runs the tiled-grid kernel: per-tile DMA
     overlaps compute and invisible tiles (beyond ``start_pos``) are never
@@ -195,7 +200,9 @@ def flash_decode_attention(
     v_scale = v_scale.reshape(B, KV, 1, s_len)
 
     qg = q.reshape(B, 1, KV, G, D)
-    start_arr = jnp.asarray(start_pos, jnp.int32).reshape(1)
+    # prefetch scalars are always a [B] vector; a scalar position broadcasts
+    start_arr = jnp.broadcast_to(
+        jnp.asarray(start_pos, jnp.int32).reshape(-1), (B,))
 
     if blocked:
         nkb = T // block_k
@@ -204,16 +211,18 @@ def flash_decode_attention(
             scale=scale, quantized=quantized, nkb=nkb)
 
         def kv_index(b, kv, kb, sp_ref):
-            # invisible tiles re-map to block 0: a repeated index means no
-            # new DMA, so cache slots past start_pos are never read
-            vis = kb * block_k <= sp_ref[0]
-            return (b, kv, jnp.where(vis, kb, 0), 0)
+            # invisible tiles re-map to the LAST VISIBLE block: the index
+            # repeats the tile already resident, so no DMA is issued at all
+            # for slots past this row's start_pos (re-mapping to block 0
+            # would re-fetch it once per (batch, kv_head))
+            vis = kb * block_k <= sp_ref[b]
+            return (b, kv, jnp.where(vis, kb, sp_ref[b] // block_k), 0)
 
         def scale_index(b, kv, kb, sp_ref):
             if not quantized:
                 return (b, kv, 0, 0)   # dummy block; never read
-            vis = kb * block_k <= sp_ref[0]
-            return (b, kv, 0, jnp.where(vis, kb, 0))
+            vis = kb * block_k <= sp_ref[b]
+            return (b, kv, 0, jnp.where(vis, kb, sp_ref[b] // block_k))
 
         out = pl.pallas_call(
             kernel,

@@ -158,14 +158,16 @@ def forward(
     ``start_pos`` may be a [B] vector: every batch row runs at its own
     position (continuous batching, runtime/continuous.py) — RoPE rows are
     gathered per row, the mask is per-row, and cache updates land at per-row
-    offsets. Vector mode requires the XLA attention path.
+    offsets. Vector mode supports the XLA path (any S) and the flash decode
+    kernel (S=1, its grid takes per-row positions as prefetch scalars).
     """
     B, S = tokens.shape
     H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
     T = cache.max_seq
     per_row = getattr(start_pos, "ndim", 0) == 1
-    if per_row and attn_impl != "xla":
-        raise ValueError("vector start_pos requires attn_impl='xla'")
+    if per_row and attn_impl != "xla" and not (attn_impl == "flash" and S == 1):
+        raise ValueError("vector start_pos requires attn_impl='xla' "
+                         "(or 'flash' at S=1)")
     if attn_impl == "ring" and (mesh is None or S == 1):
         raise ValueError("attn_impl='ring' is the sequence-parallel PREFILL "
                          "path: needs a mesh with an sp axis and S > 1")
@@ -226,16 +228,6 @@ def forward(
             "int8 KV cache + flash is decode-only (S=1); use attn_impl='xla' "
             "for prefill (compute-bound, dequant materialization is fine)")
 
-    def write(c, rows, p):
-        """Write [B,KV,S,...] rows into cache tensor c at position(s) p."""
-        pad = (0,) * (rows.ndim - 3)
-        if per_row:
-            return jax.vmap(
-                lambda cb, u, pb: lax.dynamic_update_slice(cb, u, (0, pb) + pad)
-            )(c, rows.astype(c.dtype), p)
-        return lax.dynamic_update_slice(c, rows.astype(c.dtype),
-                                        (0, 0, p) + pad)
-
     # decode-optimized fused layout (fuse_decode_params): qkv and gate+up are
     # single [in, out] matmuls — fewer, longer HBM streams per block
     fused = "wqkv" in params.layers
@@ -279,40 +271,17 @@ def forward(
         h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
         return x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
 
-    def block(x, scanned):
-        """Per-row (vector start_pos) path: cache layers travel as scan
-        xs/ys. This stacks a full updated layer cache into the ys every
-        layer — fine at continuous-batching context lengths; the scalar
-        path below avoids it."""
-        if quantized:
-            w, ck, cv, cks, cvs = scanned                         # ck/cv int8
-        else:
-            w, ck, cv = scanned                                   # ck/cv [B,KV,T,D]
-        q, k, v = project_qkv(x, w)
-        if attn_impl == "ring":
-            att_ring = ring_attention(q, k, v)
-        if quantized:
-            kq, ks = quantize_kv_rows(k)                          # s: [B,KV,S]
-            vq, vs = quantize_kv_rows(v)
-            ck, cks = write(ck, kq, start_pos), write(cks, ks, start_pos)
-            cv, cvs = write(cv, vq, start_pos), write(cvs, vs, start_pos)
-            att = att_ring if attn_impl == "ring" else attend(q, ck, cv, cks, cvs)
-            out_carry = (ck, cv, cks, cvs)
-        else:
-            ck = write(ck, k, start_pos)
-            cv = write(cv, v, start_pos)
-            att = att_ring if attn_impl == "ring" else attend(q, ck, cv)
-            out_carry = (ck, cv)
-        return finish_block(x, att, w), out_carry
-
     def block_carried(carry, w):
-        """Scalar start_pos path: the WHOLE cache rides the scan carry and
-        only the S new rows are written per layer (in place — XLA aliases
-        loop carries). The xs/ys formulation above instead re-materializes
-        every layer's full [B, KV, T, D] K and V into the stacked ys each
-        step — measured ~0.21 ms/layer of pure copy traffic at an 8K buffer
+        """The WHOLE cache rides the scan carry and only the S new rows are
+        written per layer (in place — XLA aliases loop carries). An earlier
+        xs/ys formulation instead re-materialized every layer's full
+        [B, KV, T, D] K and V into stacked ys each step — measured
+        ~0.21 ms/layer of pure copy traffic at an 8K buffer
         (docs/07-PERFORMANCE.md), which made decode cost track the cache
-        BUFFER size rather than the attended length."""
+        BUFFER size rather than the attended length. Vector ``start_pos``
+        (continuous batching) writes per-row offsets via a vmapped update
+        on the same carried buffer, so the serving path shares the
+        no-copy property."""
         if quantized:
             x, ck_all, cv_all, cks_all, cvs_all, li = carry
         else:
@@ -322,8 +291,16 @@ def forward(
             att_ring = ring_attention(q, k, v)
 
         def write_rows(buf, rows):
-            # rows [B,KV,S,...] -> buf [L,B,KV,T,...] at (li, 0, 0, pos, 0)
+            # rows [B,KV,S,...] -> buf [L,B,KV,T,...] at (li, 0|b, 0, pos, 0)
             pad = (0,) * (rows.ndim - 3)
+            if per_row:
+                # per-row offsets: vmap the write over the batch axis of the
+                # CARRIED buffer — lowers to a scatter XLA applies in place
+                # on the loop carry, never copying the rest of the cache
+                return jax.vmap(
+                    lambda cb, u, pb: lax.dynamic_update_slice(
+                        cb, u[None].astype(buf.dtype), (li, 0, pb) + pad),
+                    in_axes=(1, 0, 0), out_axes=1)(buf, rows, start_pos)
             return lax.dynamic_update_slice(
                 buf, rows[None].astype(buf.dtype), (li, 0, 0, start_pos) + pad)
 
@@ -350,17 +327,7 @@ def forward(
             new_carry = (finish_block(x, att, w), ck_all, cv_all, li + 1)
         return new_carry, None
 
-    if per_row:
-        if quantized:
-            xs = (params.layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
-            x, (ck_new, cv_new, cks_new, cvs_new) = lax.scan(block, x, xs)
-            new_cache = KVCache(k=ck_new, v=cv_new,
-                                k_scale=cks_new, v_scale=cvs_new)
-        else:
-            x, (ck_new, cv_new) = lax.scan(block, x,
-                                           (params.layers, cache.k, cache.v))
-            new_cache = KVCache(k=ck_new, v=cv_new)
-    elif quantized:
+    if quantized:
         init = (x, cache.k, cache.v, cache.k_scale, cache.v_scale,
                 jnp.int32(0))
         (x, ck_new, cv_new, cks_new, cvs_new, _), _ = lax.scan(

@@ -38,21 +38,24 @@ def _smap(fn, mesh: Mesh, in_specs, out_specs):
 def tp_flash_decode_attention(mesh: Mesh, q, k, v, start_pos,
                               k_scale=None, v_scale=None,
                               block_k: int = 512):
-    """flash_decode_attention over a (dp, tp)-sharded batch/head layout."""
+    """flash_decode_attention over a (dp, tp)-sharded batch/head layout.
+    A [B] ``start_pos`` vector (continuous batching) shards with the batch
+    rows it describes; a scalar replicates."""
     q_spec = P("dp", None, "tp", None)
     kv_spec = P("dp", "tp", None, None)
+    sp_spec = P("dp") if getattr(start_pos, "ndim", 0) == 1 else P()
     if k_scale is not None:
         def fn(q, k, v, sp, ks, vs):
             return flash_decode_attention(q, k, v, sp, k_scale=ks, v_scale=vs,
                                           block_k=block_k)
         return _smap(fn, mesh,
-                     (q_spec, kv_spec, kv_spec, P(), P("dp", "tp", None),
+                     (q_spec, kv_spec, kv_spec, sp_spec, P("dp", "tp", None),
                       P("dp", "tp", None)),
                      q_spec)(q, k, v, start_pos, k_scale, v_scale)
 
     def fn(q, k, v, sp):
         return flash_decode_attention(q, k, v, sp, block_k=block_k)
-    return _smap(fn, mesh, (q_spec, kv_spec, kv_spec, P()), q_spec)(
+    return _smap(fn, mesh, (q_spec, kv_spec, kv_spec, sp_spec), q_spec)(
         q, k, v, start_pos)
 
 

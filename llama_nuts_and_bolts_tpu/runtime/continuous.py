@@ -83,12 +83,18 @@ def _prefill_slot(params, cfg, tokens, logits_at, cache: KVCache, slot,
     return tok[0], (lp[0][0], lp[1][0], lp[2][0]), cache
 
 
-@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("attn_impl", "mesh"), donate_argnums=(4,))
 def _decode_step(params, cfg, tokens, positions, cache: KVCache,
-                 keys, temps, top_ks, top_ps):
+                 keys, temps, top_ks, top_ps, attn_impl="xla", mesh=None):
     """One shared decode step: tokens [B,1] at per-row ``positions`` [B];
-    each row greedy or sampled per its own traced parameters."""
-    logits, cache = forward(params, cfg, tokens, positions, cache)
+    each row greedy or sampled per its own traced parameters.
+    ``attn_impl="flash"`` streams each row's cache up to its own position
+    through the Pallas decode kernel — the path that makes an int8 KV cache
+    pay under continuous batching (the XLA path materializes the
+    dequantized bf16 cache every step)."""
+    logits, cache = forward(params, cfg, tokens, positions, cache,
+                            attn_impl=attn_impl, mesh=mesh)
     toks = sample_tokens_batched(logits[:, -1], keys, positions,
                                  temps, top_ks, top_ps)
     lp = top_logprobs_batched(logits[:, -1], toks, LOGPROBS_K)
@@ -177,6 +183,11 @@ class ContinuousBatcher:
         else:
             self.cache = engine.new_cache(n_slots)
         self.slots: List[Optional[Request]] = [None] * n_slots
+        # decode attention impl: the engine's selection logic (probe or
+        # rules) — on TPU with an int8 cache this picks the flash decode
+        # kernel, whose (batch, kv_head) grid takes the per-row position
+        # vector as prefetch scalars
+        self._decode_impl = engine._attn_impl(1)
         # per-slot feed token and position of that token (= next write pos)
         self._feed = np.zeros(n_slots, dtype=np.int32)
         self._pos = np.zeros(n_slots, dtype=np.int32)
@@ -340,7 +351,8 @@ class ContinuousBatcher:
             nxt, lp, self.cache = _decode_step(
                 self.engine.model.params, self.cfg, toks, poss, self.cache,
                 jnp.asarray(self._key), jnp.asarray(self._temp),
-                jnp.asarray(self._topk), jnp.asarray(self._topp))
+                jnp.asarray(self._topk), jnp.asarray(self._topp),
+                attn_impl=self._decode_impl, mesh=self.engine.mesh)
             nxt = np.asarray(nxt)
             for slot in range(self.n_slots):
                 active = self.slots[slot] is not None

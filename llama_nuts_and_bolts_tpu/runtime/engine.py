@@ -83,10 +83,13 @@ class InferenceEngine:
         self._rng = jax.random.PRNGKey(self.args.seed)
         # prefix cache: token-tuple -> KVCache snapshot (see cache_prefix)
         self._prefix_cache: Dict[tuple, KVCache] = {}
-        # attn_impl="probe": winner of the one-shot decode micro-benchmark
-        self._probed_decode_impl: Optional[str] = None
+        # attn_impl="probe": winners of the one-shot decode micro-benchmark,
+        # keyed by cache-buffer length — request bucketing (cache_bucket)
+        # means requests decode at different buffer lengths, and the
+        # xla/flash crossover moves with the buffer size
+        self._probed_decode_impl: Dict[int, str] = {}
         # decode-chunk executables keyed by chunk length (see _decode_chunk)
-        self._chunk_fns: Dict[int, object] = {}
+        self._chunk_fns: Dict[tuple, object] = {}
 
     # ------------------------------------------------------------ tokenize
 
@@ -150,20 +153,24 @@ class InferenceEngine:
             aligned = aligned and self.model.cfg.kv_heads % tp == 0
         return aligned
 
-    def _attn_impl(self, seq_len: int) -> str:
+    def _attn_impl(self, seq_len: int, cache_len: Optional[int] = None) -> str:
         """Pallas kernels on TPU where they pay: flash prefill for bf16
         caches (decode's S=1 tiles are too small to beat XLA there), and the
         flash-DECODE kernel for int8 caches (XLA cannot fuse the dequantize
         into its einsum — it materializes the bf16 cache every step).
         ``attn_impl="probe"`` replaces these build-time rules for the DECODE
         step with a one-shot measurement at the active config
-        (autotune_attn_impl)."""
+        (autotune_attn_impl). ``cache_len`` is the request's cache-buffer
+        bucket (cache_bucket); probe results are keyed by it, so a
+        short-bucket request is not stuck with a choice measured at the full
+        engine context."""
         on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
         aligned = self._kernels_viable()
         if seq_len == 1 and self.args.attn_impl == "probe":
-            if self._probed_decode_impl is None:
-                self.autotune_attn_impl()
-            return self._probed_decode_impl
+            bucket = cache_len or self.seq_len
+            if bucket not in self._probed_decode_impl:
+                self.autotune_attn_impl(cache_len=bucket)
+            return self._probed_decode_impl[bucket]
         if self.args.kv_cache_dtype == "int8":
             return "flash" if (seq_len == 1 and on_tpu and aligned) else "xla"
         if self.args.attn_impl not in ("auto", "probe"):
@@ -172,15 +179,19 @@ class InferenceEngine:
             return "flash"
         return "xla"
 
-    def autotune_attn_impl(self, iters: int = 5) -> str:
+    def autotune_attn_impl(self, iters: int = 5,
+                           cache_len: Optional[int] = None) -> str:
         """One-shot decode-impl micro-probe: time ``iters`` single-token
-        decode steps per viable impl at the ACTIVE config (context length,
-        cache dtype, mesh) and keep the fastest, so the choice tracks the
-        deployment instead of build-time assumptions. Costs one extra decode
-        compile per candidate; result is cached for the engine's lifetime
-        in ``self._probed_decode_impl`` (also returned)."""
+        decode steps per viable impl at the ACTIVE config (cache-buffer
+        length, cache dtype, mesh) and keep the fastest, so the choice
+        tracks the deployment instead of build-time assumptions. Costs one
+        extra decode compile per candidate; the result is cached per
+        cache-buffer bucket in ``self._probed_decode_impl`` (also
+        returned) — bucketed requests (cache_bucket) probe their own
+        buffer length."""
         import time
 
+        cache_len = cache_len or self.seq_len
         candidates = ["xla"]
         # same platform gate as the auto rules: the Pallas kernels are TPU
         # programs (CPU would probe them in glacial interpret mode; GPU
@@ -189,18 +200,19 @@ class InferenceEngine:
         if on_tpu and self._kernels_viable():
             candidates.append("flash")
         if len(candidates) == 1:
-            self._probed_decode_impl = candidates[0]
+            self._probed_decode_impl[cache_len] = candidates[0]
             self._probe_timings = {candidates[0]: 0.0}
             self.log("attn-impl probe: only %r viable at this config",
                      candidates[0])
             return candidates[0]
         timings: Dict[str, float] = {}
-        # probe mid-cache: attention cost at seq_len/2 is representative of
-        # a typical decode step; position 0 would flatter short-context impls
-        pos = max(1, (self.seq_len - 2) // 2)
+        # probe mid-buffer: attention cost at cache_len/2 is representative
+        # of a typical decode step in this bucket; position 0 would flatter
+        # short-context impls
+        pos = max(1, (cache_len - 2) // 2)
         step = jnp.zeros((1, 1), dtype=jnp.int32)
         for impl in candidates:
-            cache = self.new_cache(1)
+            cache = self.new_cache(1, cache_len)
             logits, cache = self._fwd(self.model.params, self.model.cfg, step,
                                       pos, cache, attn_impl=impl,
                                       mesh=self.mesh)  # compile + warm
@@ -214,13 +226,14 @@ class InferenceEngine:
                 np.asarray(logits[0, 0, :1])
                 best = min(best, time.perf_counter() - t0)
             timings[impl] = best
-        self._probed_decode_impl = min(timings, key=timings.get)
+        choice = min(timings, key=timings.get)
+        self._probed_decode_impl[cache_len] = choice
         self._probe_timings = timings
-        self.log("attn-impl probe at seq_len=%d kv=%s: %s -> chose %r",
-                 self.seq_len, self.args.kv_cache_dtype,
+        self.log("attn-impl probe at cache_len=%d kv=%s: %s -> chose %r",
+                 cache_len, self.args.kv_cache_dtype,
                  {k: f"{v * 1e3:.2f}ms" for k, v in timings.items()},
-                 self._probed_decode_impl)
-        return self._probed_decode_impl
+                 choice)
+        return choice
 
     # ------------------------------------------------------------- decode
 
@@ -341,18 +354,26 @@ class InferenceEngine:
             return max(1, self.args.decode_chunk)
         return 8 if jax.devices()[0].platform == "axon" else 1
 
-    def _decode_chunk(self, k: int, sampled: bool = False):
+    def _decode_chunk(self, k: int, sampled: bool = False,
+                      cache_len: Optional[int] = None):
         """Jitted k-step decode: one dispatch yields k tokens via an
         on-device lax.scan (same per-step program as the single-token path).
 
         The sampled variant carries the RNG key through the scan and splits
         it exactly like the per-token loop (`self._rng, key = split(rng)` per
-        step), so the emitted token sequence for a given seed is identical
-        to per-token decoding. Temperature is traced (one executable serves
-        any value); top_k/top_p are shape-affecting and stay static."""
-        cache_key = ((k, "s", self.args.top_k, self.args.top_p) if sampled
-                     else (k, "g"))
+        step), so the emitted token sequence for a given seed matches
+        per-token decoding. Temperature is traced (one executable serves
+        any value); top_k/top_p are shape-affecting and stay static.
+        ``cache_len`` keys the entry by the request's cache bucket (the
+        attn-impl probe may choose differently per bucket)."""
+        bucket = cache_len or self.seq_len
+        cache_key = ((k, bucket, "s", self.args.top_k, self.args.top_p)
+                     if sampled else (k, bucket, "g"))
         if cache_key in self._chunk_fns:
+            # LRU: refresh on hit so a client cycling distinct sampled
+            # (top_k, top_p) keys evicts stale sampled entries, not the
+            # hot steady-state greedy executable
+            self._chunk_fns[cache_key] = self._chunk_fns.pop(cache_key)
             return self._chunk_fns[cache_key]
         # sampled keys carry client-controlled top_k/top_p: bound the
         # executable cache so a client cycling values can't grow it (or
@@ -363,7 +384,7 @@ class InferenceEngine:
             from jax import lax
 
             cfg = self.model.cfg
-            impl = self._attn_impl(1)
+            impl = self._attn_impl(1, bucket)
             mesh = self.mesh
 
             if sampled:
@@ -409,11 +430,14 @@ class InferenceEngine:
         """Greedy/sampled autoregressive generation, one token per yield.
 
         Streaming decodes in on-device chunks of k steps per dispatch
-        (``args.decode_chunk``; exact same token sequence — the scan body IS
-        the single-step program, and the sampled variant splits the RNG key
-        per step exactly like the per-token loop) and replays each chunk's
-        tokens one at a time, so detokenizer waiting-bytes state and console
-        semantics are untouched. The horizon tail runs per-token.
+        (``args.decode_chunk``) and replays each chunk's tokens one at a
+        time, so detokenizer waiting-bytes state and console semantics are
+        untouched. The scan body IS the single-step program and the sampled
+        variant splits the RNG key per step exactly like the per-token
+        loop; the chunk scan is still a separately compiled XLA program, so
+        bitwise logit identity with per-token decoding is verified by tests
+        on the tested configs rather than guaranteed in principle. The
+        horizon tail runs per-token.
 
         ``max_new_tokens`` both caps the stream and — the perf point —
         shrinks the request's cache BUFFER to a bucket (cache_bucket): a
@@ -482,15 +506,26 @@ class InferenceEngine:
                 return
 
             if chunk_k > 1 and cur_pos + chunk_k < horizon:
-                fn = self._decode_chunk(chunk_k, sampled=sampled)
+                fn = self._decode_chunk(chunk_k, sampled=sampled,
+                                        cache_len=cache_len)
                 rng_before = self._rng  # pre-chunk state, for mid-chunk exit
                 if pending is not None:
                     toks, rng, fed_pos = pending
                     pending = None
-                    assert fed_pos == cur_pos, (fed_pos, cur_pos)
+                    if fed_pos != cur_pos:
+                        # pipelined-chunk invariant broken (should be
+                        # impossible): discard the pending chunk and
+                        # re-dispatch from the live position rather than
+                        # aborting the user's stream
+                        get_logger().error(
+                            "pipelined chunk at pos %d does not match live "
+                            "pos %d; re-dispatching", fed_pos, cur_pos)
+                        toks = rng = None
                     if rng is not None:
                         self._rng = rng
                 else:
+                    toks = None
+                if toks is None:
                     step = jnp.asarray([[next_token]], dtype=jnp.int32)
                     if sampled:
                         toks, self._rng, cache = fn(
@@ -546,7 +581,8 @@ class InferenceEngine:
 
             step = jnp.asarray([[next_token]], dtype=jnp.int32)
             logits, cache = self._fwd(self.model.params, cfg, step, cur_pos,
-                                      cache, attn_impl=self._attn_impl(1),
+                                      cache,
+                                      attn_impl=self._attn_impl(1, cache_len),
                                       mesh=self.mesh)
             next_token = self._select_token(logits[0, -1])
             cur_pos += 1

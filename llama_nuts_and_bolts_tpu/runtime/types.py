@@ -64,10 +64,12 @@ class InferenceArgs:
     # micro-benchmark at first decode: time a step per viable impl at the
     # active config — context length, cache dtype, mesh — and keep the winner)
     attn_impl: str = "auto"
-    # interactive decode chunking: run k greedy steps per device dispatch in
+    # interactive decode chunking: run k decode steps per device dispatch in
     # an on-device lax.scan, replaying the k tokens through the detokenizer
-    # one at a time (identical transcripts). Amortizes the per-dispatch
-    # round-trip (~25-50 ms on an RPC-attached TPU, runtime/device_loop.py).
+    # one at a time (identical transcripts). Applies to greedy AND sampled
+    # streaming — the sampled scan splits the RNG key per step, preserving
+    # seeded sequences. Amortizes the per-dispatch round-trip (~25-50 ms on
+    # an RPC-attached TPU, runtime/device_loop.py).
     # 0 = auto: 8 on RPC-attached devices, 1 (per-token) on host-attached.
     decode_chunk: int = 0
     # n-gram prompt-lookup speculative decoding: verify up to k drafts per

@@ -44,7 +44,8 @@ def main(argv=None) -> int:
                    help="attention impl: build-time rules (auto), forced, or "
                         "a one-shot measured probe at the active config")
     p.add_argument("--decode-chunk", type=int, default=0, metavar="K",
-                   help="greedy streaming decodes K tokens per dispatch "
+                   help="streaming (greedy or sampled) decodes K tokens per "
+                        "dispatch; sampled keeps seeded RNG parity "
                         "(0 = auto: 8 on RPC-attached TPUs, else per-token)")
     p.add_argument("--cache-system-prompt", default=None, metavar="TEXT",
                    help="prefill TEXT's system-prompt block once at startup "

@@ -386,7 +386,8 @@ def test_chunked_decode_dispatch_count():
         calls["n"] += 1
         return real(*a, **kw)
 
-    eng._chunk_fns[(4, "g")] = counting
+    # greedy chunk executables are keyed (k, cache_bucket, "g")
+    eng._chunk_fns[(4, eng.seq_len, "g")] = counting
     out = list(eng.generate_tokens([1, 5, 9]))
     n_decoded = len(out)
     assert calls["n"] > 0, "chunk path never engaged"
@@ -427,13 +428,28 @@ def test_attn_impl_probe_picks_measured_fastest():
     assert list(eng.generate_tokens([1, 5, 9])) == ref
 
 
-def test_attn_impl_probe_is_one_shot():
+def test_attn_impl_probe_is_one_shot_per_bucket():
     eng = make_engine(sequence_length=24, attn_impl="probe")
     eng._attn_impl(1)
-    first = eng._probed_decode_impl
-    assert first is not None
-    eng._probe_timings = None  # autotune would crash if re-entered
-    assert eng._attn_impl(1) == first
+    first = dict(eng._probed_decode_impl)
+    assert set(first) == {24}
+    # same bucket never re-probes (re-entry would TypeError on None)
+    eng.autotune_attn_impl = None
+    assert eng._attn_impl(1) == first[24]
+    assert eng._attn_impl(1, cache_len=24) == first[24]
+
+
+def test_attn_impl_probe_keyed_by_cache_bucket():
+    """cache_bucket means requests decode at different buffer lengths; the
+    probe result is cached per bucket, not once per engine lifetime."""
+    eng = make_engine(sequence_length=64, attn_impl="probe")
+    eng._attn_impl(1, cache_len=16)
+    eng._attn_impl(1, cache_len=64)
+    assert set(eng._probed_decode_impl) == {16, 64}
+    seen = dict(eng._probed_decode_impl)
+    eng.autotune_attn_impl = None  # any further probe would TypeError
+    assert eng._attn_impl(1, cache_len=16) == seen[16]
+    assert eng._attn_impl(1, cache_len=64) == seen[64]
 
 
 def test_chunked_decode_under_tensor_parallelism():
