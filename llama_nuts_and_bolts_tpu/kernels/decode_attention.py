@@ -33,8 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _decode_kernel_blocked(start_pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                           o_ref, acc_ref, m_ref, l_ref,
+def _decode_kernel_blocked(start_pos_ref, layer_ref, q_ref, k_ref, v_ref,
+                           ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref,
                            *, block_k: int, groups: int, head_dim: int,
                            scale: float, quantized: bool, nkb: int):
     """One grid step = one block_k cache tile of one (batch, kv_head).
@@ -49,7 +49,14 @@ def _decode_kernel_blocked(start_pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 
     ``start_pos`` is a [B] prefetch-scalar vector — each batch row attends
     up to its OWN position (continuous batching; a single-request decode
-    just broadcasts its scalar)."""
+    just broadcasts its scalar). ``layer`` is a second prefetch scalar
+    selecting the layer block of a STACKED [L, B, KV, T, D] cache: inside
+    the per-layer scan the kernel reads its tiles straight out of the whole
+    cache buffer, where slicing the layer first (dynamic_index_in_dim)
+    would make XLA materialize a full [B, KV, T, D] copy per step just to
+    have a contiguous pallas operand (the attention einsum fuses that slice;
+    a pallas_call cannot)."""
+    del layer_ref  # consumed by the index maps only
     start_pos = start_pos_ref[pl.program_id(0)]
     kb = pl.program_id(2)
 
@@ -64,9 +71,9 @@ def _decode_kernel_blocked(start_pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         q = q_ref[0, 0].reshape(groups, head_dim)
 
         def tile(ref, s_ref):
-            t = ref[0, 0]
+            t = ref[0, 0, 0]
             if quantized:
-                s = s_ref[0, 0, 0].astype(jnp.float32)
+                s = s_ref[0, 0, 0, 0].astype(jnp.float32)
                 t = (t.astype(jnp.float32) * s.reshape(block_k, 1))
                 t = t.astype(jnp.bfloat16)
             return t                                     # [block_k, D] bf16
@@ -156,15 +163,16 @@ def _decode_kernel(start_pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
 
 def flash_decode_attention(
     q: jnp.ndarray,        # [B, 1, H, D]
-    k: jnp.ndarray,        # [B, KV, T, D] bf16 or int8
-    v: jnp.ndarray,        # [B, KV, T, D]
+    k: jnp.ndarray,        # [B, KV, T, D] bf16/int8 — or [L, B, KV, T, D] with layer
+    v: jnp.ndarray,        # same shape as k
     start_pos,             # int32 scalar, or [B] vector of per-row positions
-    k_scale=None,          # [B, KV, T] bf16 when k is int8
+    k_scale=None,          # [B, KV, T] bf16 when k is int8 ([L, ...] with layer)
     v_scale=None,
     scale: float | None = None,
     block_k: int = 512,
     interpret: bool | None = None,
     blocked: bool = True,
+    layer=None,            # traced int32: k/v are the WHOLE stacked cache
 ) -> jnp.ndarray:
     """Returns [B, 1, H, D] in q.dtype. Each query attends slots ≤ its
     start_pos (which includes its own just-written row); a [B] ``start_pos``
@@ -174,7 +182,13 @@ def flash_decode_attention(
     overlaps compute and invisible tiles (beyond ``start_pos``) are never
     read from HBM, so a step's cache traffic is proportional to the
     position rather than the buffer size. ``blocked=False`` keeps the
-    original whole-head-block kernel."""
+    original whole-head-block kernel.
+
+    ``layer`` (with a stacked [L, B, KV, T, D] cache) makes the kernel
+    index the layer via a prefetch scalar instead of the caller slicing it
+    out — inside the per-layer scan, ``dynamic_index_in_dim`` would force
+    XLA to materialize a full layer copy each step as the pallas operand
+    (measured ~2 ms/step at an 8K x B=2 bf16 cache)."""
     if interpret is None:
         # compiled on TPU, interpreter on CPU (CPU-mesh tests)
         interpret = jax.devices()[0].platform == "cpu"
@@ -182,7 +196,15 @@ def flash_decode_attention(
     B, S, H, D = q.shape
     if S != 1:
         raise ValueError("flash_decode_attention is the S=1 kernel")
-    _, KV, T, _ = k.shape
+    if layer is None:
+        # lift to a 1-layer stack: same kernel, free reshape
+        k, v = k[None], v[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
+        layer = 0
+    elif not blocked:
+        raise ValueError("stacked-cache layer mode requires blocked=True")
+    L, _, KV, T, _ = k.shape
     G = H // KV
     if scale is None:
         scale = 1.0 / math.sqrt(D)
@@ -193,16 +215,19 @@ def flash_decode_attention(
 
     if not quantized:
         # uniform kernel signature: feed dummy scales (never read)
-        k_scale = jnp.zeros((B, KV, block_k if blocked else 128), jnp.bfloat16)
-        v_scale = jnp.zeros((B, KV, block_k if blocked else 128), jnp.bfloat16)
-    s_len = k_scale.shape[2]
-    k_scale = k_scale.reshape(B, KV, 1, s_len)
-    v_scale = v_scale.reshape(B, KV, 1, s_len)
+        k_scale = jnp.zeros((1, B, KV, block_k if blocked else 128),
+                            jnp.bfloat16)
+        v_scale = k_scale
+    s_len = k_scale.shape[3]
+    SL = k_scale.shape[0]
+    k_scale = k_scale.reshape(SL, B, KV, 1, s_len)
+    v_scale = v_scale.reshape(SL, B, KV, 1, s_len)
 
     qg = q.reshape(B, 1, KV, G, D)
     # prefetch scalars are always a [B] vector; a scalar position broadcasts
     start_arr = jnp.broadcast_to(
         jnp.asarray(start_pos, jnp.int32).reshape(-1), (B,))
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
     if blocked:
         nkb = T // block_k
@@ -210,37 +235,39 @@ def flash_decode_attention(
             _decode_kernel_blocked, block_k=block_k, groups=G, head_dim=D,
             scale=scale, quantized=quantized, nkb=nkb)
 
-        def kv_index(b, kv, kb, sp_ref):
+        def kv_index(b, kv, kb, sp_ref, li_ref):
             # invisible tiles re-map to the LAST VISIBLE block: the index
             # repeats the tile already resident, so no DMA is issued at all
             # for slots past this row's start_pos (re-mapping to block 0
             # would re-fetch it once per (batch, kv_head))
             vis = kb * block_k <= sp_ref[b]
-            return (b, kv, jnp.where(vis, kb, sp_ref[b] // block_k), 0)
+            return (li_ref[0], b, kv,
+                    jnp.where(vis, kb, sp_ref[b] // block_k), 0)
 
-        def scale_index(b, kv, kb, sp_ref):
+        def scale_index(b, kv, kb, sp_ref, li_ref):
             if not quantized:
-                return (b, kv, 0, 0)   # dummy block; never read
+                return (0, b, kv, 0, 0)   # dummy block; never read
             vis = kb * block_k <= sp_ref[b]
-            return (b, kv, 0, jnp.where(vis, kb, sp_ref[b] // block_k))
+            return (li_ref[0], b, kv, 0,
+                    jnp.where(vis, kb, sp_ref[b] // block_k))
 
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=2,
                 grid=(B, KV, nkb),
                 in_specs=[
                     pl.BlockSpec((1, 1, 1, G, D),
-                                 lambda b, kv, kb, sp: (b, 0, kv, 0, 0)),
-                    pl.BlockSpec((1, 1, block_k, D), kv_index),
-                    pl.BlockSpec((1, 1, block_k, D), kv_index),
-                    pl.BlockSpec((1, 1, 1, block_k if quantized else s_len),
+                                 lambda b, kv, kb, sp, li: (b, 0, kv, 0, 0)),
+                    pl.BlockSpec((1, 1, 1, block_k, D), kv_index),
+                    pl.BlockSpec((1, 1, 1, block_k, D), kv_index),
+                    pl.BlockSpec((1, 1, 1, 1, block_k if quantized else s_len),
                                  scale_index),
-                    pl.BlockSpec((1, 1, 1, block_k if quantized else s_len),
+                    pl.BlockSpec((1, 1, 1, 1, block_k if quantized else s_len),
                                  scale_index),
                 ],
                 out_specs=pl.BlockSpec(
-                    (1, 1, 1, G, D), lambda b, kv, kb, sp: (b, 0, kv, 0, 0)),
+                    (1, 1, 1, G, D), lambda b, kv, kb, sp, li: (b, 0, kv, 0, 0)),
                 scratch_shapes=[
                     pltpu.VMEM((G, D), jnp.float32),
                     pltpu.VMEM((G, 1), jnp.float32),
@@ -251,9 +278,12 @@ def flash_decode_attention(
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary", "arbitrary")),
             interpret=interpret,
-        )(start_arr, qg, k, v, k_scale, v_scale)
+        )(start_arr, layer_arr, qg, k, v, k_scale, v_scale)
         return out.reshape(B, 1, H, D)
 
+    # legacy whole-head kernel: single-layer operands only
+    k, v = k[0], v[0]
+    k_scale, v_scale = k_scale[0], v_scale[0]
     kernel = functools.partial(
         _decode_kernel, block_k=block_k, groups=G, head_dim=D, scale=scale,
         quantized=quantized)

@@ -25,7 +25,6 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 from jax import lax
 
@@ -187,7 +186,11 @@ def forward(
         else:
             mask = attention_mask(S, T, start_pos)[None, :, :]    # [1,S,T]
 
-    def attend(q, ck, cv, cks=None, cvs=None):
+    def attend(q, ck, cv, cks=None, cvs=None, layer=None):
+        """``layer`` (decode only): ck/cv are the WHOLE stacked cache and
+        the flash kernel indexes the layer itself via a prefetch scalar —
+        slicing the layer out first would make XLA materialize a full
+        [B, KV, T, D] copy per step as the pallas operand."""
         if attn_impl == "flash":
             block_k = next((b for b in (512, 256, 128) if T % b == 0), T)
             if mesh is not None:
@@ -201,7 +204,7 @@ def forward(
                 if S == 1:
                     return tp_flash_decode_attention(
                         mesh, q, ck, cv, start_pos, k_scale=cks, v_scale=cvs,
-                        block_k=block_k)
+                        block_k=block_k, layer=layer)
                 return tp_flash_gqa_attention(mesh, q, ck, cv, start_pos,
                                               block_k=block_k)
             if S == 1:
@@ -211,7 +214,7 @@ def forward(
 
                 return flash_decode_attention(q, ck, cv, start_pos,
                                               k_scale=cks, v_scale=cvs,
-                                              block_k=block_k)
+                                              block_k=block_k, layer=layer)
             from llama_nuts_and_bolts_tpu.kernels.attention import flash_gqa_attention
 
             return flash_gqa_attention(q, ck, cv, start_pos, block_k=block_k)
@@ -294,16 +297,31 @@ def forward(
             # rows [B,KV,S,...] -> buf [L,B,KV,T,...] at (li, 0|b, 0, pos, 0)
             pad = (0,) * (rows.ndim - 3)
             if per_row:
-                # per-row offsets: vmap the write over the batch axis of the
-                # CARRIED buffer — lowers to a scatter XLA applies in place
-                # on the loop carry, never copying the rest of the cache
-                return jax.vmap(
-                    lambda cb, u, pb: lax.dynamic_update_slice(
-                        cb, u[None].astype(buf.dtype), (li, 0, pb) + pad),
-                    in_axes=(1, 0, 0), out_axes=1)(buf, rows, start_pos)
+                # per-row offsets as B unrolled updates (B = the slot count,
+                # static): each dynamic_update_slice aliases the carried
+                # buffer in place, like the scalar path. (A vmapped DUS over
+                # the batch axis instead makes XLA materialize full cache
+                # copies inside the loop — measured 2x1GB HLO temps at an
+                # 8K buffer.)
+                rows = rows.astype(buf.dtype)
+                for b in range(rows.shape[0]):
+                    buf = lax.dynamic_update_slice(
+                        buf, rows[b][None, None],
+                        (li, b, 0, start_pos[b]) + pad)
+                return buf
             return lax.dynamic_update_slice(
                 buf, rows[None].astype(buf.dtype), (li, 0, 0, start_pos) + pad)
 
+        # flash decode reads its tiles straight from the stacked buffers
+        # (layer picked by a prefetch scalar); every other impl gets the
+        # layer sliced out, which the XLA einsum fuses into its operand read
+        stacked = attn_impl == "flash" and S == 1
+
+        def layer_of(buf):
+            return buf if stacked else lax.dynamic_index_in_dim(
+                buf, li, 0, keepdims=False)
+
+        lkw = {"layer": li} if stacked else {}
         if quantized:
             kq, ks = quantize_kv_rows(k)
             vq, vs = quantize_kv_rows(v)
@@ -312,18 +330,15 @@ def forward(
             cks_all = write_rows(cks_all, ks)
             cvs_all = write_rows(cvs_all, vs)
             att = att_ring if attn_impl == "ring" else attend(
-                q, lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False),
-                lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False),
-                lax.dynamic_index_in_dim(cks_all, li, 0, keepdims=False),
-                lax.dynamic_index_in_dim(cvs_all, li, 0, keepdims=False))
+                q, layer_of(ck_all), layer_of(cv_all),
+                layer_of(cks_all), layer_of(cvs_all), **lkw)
             new_carry = (finish_block(x, att, w), ck_all, cv_all,
                          cks_all, cvs_all, li + 1)
         else:
             ck_all = write_rows(ck_all, k)
             cv_all = write_rows(cv_all, v)
             att = att_ring if attn_impl == "ring" else attend(
-                q, lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False),
-                lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False))
+                q, layer_of(ck_all), layer_of(cv_all), **lkw)
             new_carry = (finish_block(x, att, w), ck_all, cv_all, li + 1)
         return new_carry, None
 

@@ -38,9 +38,8 @@ production-serving replacement for that capability.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 from jax import lax

@@ -20,8 +20,6 @@ with their KV head).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -37,26 +35,35 @@ def _smap(fn, mesh: Mesh, in_specs, out_specs):
 
 def tp_flash_decode_attention(mesh: Mesh, q, k, v, start_pos,
                               k_scale=None, v_scale=None,
-                              block_k: int = 512):
+                              block_k: int = 512, layer=None):
     """flash_decode_attention over a (dp, tp)-sharded batch/head layout.
     A [B] ``start_pos`` vector (continuous batching) shards with the batch
-    rows it describes; a scalar replicates."""
+    rows it describes; a scalar replicates. With ``layer``, k/v are the
+    whole stacked [L, B, KV, T, D] cache (layer axis replicated) and the
+    kernel selects the layer via a prefetch scalar — no per-step layer
+    copy (see kernels/decode_attention.py)."""
     q_spec = P("dp", None, "tp", None)
-    kv_spec = P("dp", "tp", None, None)
+    stacked = layer is not None
+    kv_spec = (P(None, "dp", "tp", None, None) if stacked
+               else P("dp", "tp", None, None))
+    s_spec = (P(None, "dp", "tp", None) if stacked
+              else P("dp", "tp", None))
     sp_spec = P("dp") if getattr(start_pos, "ndim", 0) == 1 else P()
     if k_scale is not None:
-        def fn(q, k, v, sp, ks, vs):
+        def fn(q, k, v, sp, ks, vs, li):
             return flash_decode_attention(q, k, v, sp, k_scale=ks, v_scale=vs,
-                                          block_k=block_k)
+                                          block_k=block_k,
+                                          layer=li if stacked else None)
         return _smap(fn, mesh,
-                     (q_spec, kv_spec, kv_spec, sp_spec, P("dp", "tp", None),
-                      P("dp", "tp", None)),
-                     q_spec)(q, k, v, start_pos, k_scale, v_scale)
+                     (q_spec, kv_spec, kv_spec, sp_spec, s_spec, s_spec, P()),
+                     q_spec)(q, k, v, start_pos, k_scale, v_scale,
+                             layer if stacked else 0)
 
-    def fn(q, k, v, sp):
-        return flash_decode_attention(q, k, v, sp, block_k=block_k)
-    return _smap(fn, mesh, (q_spec, kv_spec, kv_spec, sp_spec), q_spec)(
-        q, k, v, start_pos)
+    def fn(q, k, v, sp, li):
+        return flash_decode_attention(q, k, v, sp, block_k=block_k,
+                                      layer=li if stacked else None)
+    return _smap(fn, mesh, (q_spec, kv_spec, kv_spec, sp_spec, P()), q_spec)(
+        q, k, v, start_pos, layer if stacked else 0)
 
 
 def tp_flash_gqa_attention(mesh: Mesh, q, k, v, start_pos,

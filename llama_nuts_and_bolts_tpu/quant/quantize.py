@@ -14,8 +14,6 @@ serves both precisions). Norms, embeddings, and RoPE tables stay bf16/fp32.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import struct

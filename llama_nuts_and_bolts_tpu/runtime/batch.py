@@ -22,11 +22,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
 from llama_nuts_and_bolts_tpu.runtime.types import GenerationState
 
 

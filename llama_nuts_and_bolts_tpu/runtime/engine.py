@@ -40,7 +40,6 @@ from llama_nuts_and_bolts_tpu.runtime.types import (
     GeneratedPart,
     GenerationState,
     InferenceArgs,
-    TokenPiece,
 )
 from llama_nuts_and_bolts_tpu.tokenizer import PromptPart, encode_ordinary, render_chat_tokens
 from llama_nuts_and_bolts_tpu.utils.logging import get_logger

@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                    help="streaming (greedy or sampled) decodes K tokens per "
                         "dispatch; sampled keeps seeded RNG parity "
                         "(0 = auto: 8 on RPC-attached TPUs, else per-token)")
+    p.add_argument("--max-pending", type=int, default=0, metavar="N",
+                   help="admit at most N concurrent generation requests; "
+                        "excess get an immediate 429 + Retry-After "
+                        "(0 = auto: 4x --continuous slots, else 8)")
     p.add_argument("--cache-system-prompt", default=None, metavar="TEXT",
                    help="prefill TEXT's system-prompt block once at startup "
                         "and snapshot its KV state; chat requests whose first "
@@ -125,7 +129,8 @@ def main(argv=None) -> int:
             model.vocab, model.mergeable_ranks))
     serve(engine, args.host, args.port, name, continuous_slots=args.continuous,
           paged_blocks=args.paged_blocks,
-          prefix_cache=not args.no_prefix_cache)
+          prefix_cache=not args.no_prefix_cache,
+          max_pending=args.max_pending)
     return 0
 
 

@@ -31,7 +31,7 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
-from llama_nuts_and_bolts_tpu.runtime import InferenceArgs, InferenceEngine
+from llama_nuts_and_bolts_tpu.runtime import InferenceEngine
 from llama_nuts_and_bolts_tpu.runtime.types import GenerationState
 from llama_nuts_and_bolts_tpu.tokenizer import PromptPart
 from llama_nuts_and_bolts_tpu.utils.logging import get_logger
@@ -68,14 +68,24 @@ def apply_stop_sequences(gen, stops):
 class LlamaHTTPServer:
     def __init__(self, engine: InferenceEngine, model_name: str = "llama-3.1-8b-instruct",
                  continuous_slots: int = 0, paged_blocks: int = 0,
-                 prefix_cache: bool = True):
+                 prefix_cache: bool = True, max_pending: int = 0):
         self.engine = engine
         self.model_name = model_name
         self._gen_lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
+        # bounded admission: at most max_pending generation requests may be
+        # in flight (decoding or queued on the batcher/serialization lock);
+        # excess requests get an immediate 429 + Retry-After instead of an
+        # unbounded handler-thread pileup. 0 = auto: 4x the batcher's slots,
+        # or 8 for the serialized single-request engine.
+        self.max_pending = max_pending or (
+            4 * continuous_slots if continuous_slots > 0 else 8)
+        self._inflight = 0
+        self._admission_lock = threading.Lock()
         # request/token accounting surfaced at /metrics (Prometheus text)
         self._metrics_lock = threading.Lock()
         self.metrics = {"requests_total": 0, "requests_failed": 0,
+                        "requests_rejected": 0,
                         "tokens_generated_total": 0,
                         "generation_seconds_total": 0.0}
         self.batcher = None
@@ -279,6 +289,18 @@ class LlamaHTTPServer:
 
     # ------------------------------------------------------------- plumbing
 
+    def try_admission(self) -> bool:
+        """Admit one generation request if under the max_pending bound."""
+        with self._admission_lock:
+            if self._inflight >= self.max_pending:
+                return False
+            self._inflight += 1
+            return True
+
+    def release_admission(self) -> None:
+        with self._admission_lock:
+            self._inflight -= 1
+
     def count_request(self, n_tokens: int, seconds: float, failed: bool = False):
         with self._metrics_lock:
             self.metrics["requests_total"] += 1
@@ -298,6 +320,12 @@ class LlamaHTTPServer:
             f"llama_tokens_generated_total {m['tokens_generated_total']}",
             "# TYPE llama_generation_seconds_total counter",
             f"llama_generation_seconds_total {m['generation_seconds_total']:.3f}",
+            "# TYPE llama_requests_rejected_total counter",
+            f"llama_requests_rejected_total {m['requests_rejected']}",
+            "# TYPE llama_inflight_requests gauge",
+            f"llama_inflight_requests {self._inflight}",
+            "# TYPE llama_max_pending gauge",
+            f"llama_max_pending {self.max_pending}",
         ]
         if self.batcher is not None:
             b = self.batcher
@@ -382,6 +410,19 @@ class LlamaHTTPServer:
                     self._json(404, {"error": {"message": f"unknown path {self.path}"}})
 
             def do_POST(self):
+                # bounded admission (SURVEY §5.3 fail-fast at production
+                # scale): generation work is admitted up to max_pending;
+                # beyond that the server answers 429 immediately instead of
+                # piling handler threads onto the scheduler/serialization
+                # lock. Parse/validation errors never consume a slot.
+                self._admitted = False
+                try:
+                    self._post_impl()
+                finally:
+                    if self._admitted:
+                        server_self.release_admission()
+
+            def _post_impl(self):
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(length) or b"{}")
@@ -444,6 +485,22 @@ class LlamaHTTPServer:
                     self._json(400, {"error": {"message":
                         "logprobs requires the server to run with --continuous"}})
                     return
+                if not server_self.try_admission():
+                    with server_self._metrics_lock:
+                        server_self.metrics["requests_rejected"] += 1
+                    body = json.dumps({"error": {
+                        "message": ("server overloaded: "
+                                    f"{server_self.max_pending} requests "
+                                    "already admitted; retry shortly"),
+                        "type": "overloaded_error"}}).encode("utf-8")
+                    self.send_response(429)
+                    self.send_header("Retry-After", "1")
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                self._admitted = True
                 rid = f"cmpl-{uuid.uuid4().hex[:20]}"
                 created = int(time.time())
                 t_start = time.perf_counter()
@@ -591,7 +648,8 @@ class LlamaHTTPServer:
 
 def serve(engine: InferenceEngine, host: str = "0.0.0.0", port: int = 8000,
           model_name: str = "llama-3.1-8b-instruct", continuous_slots: int = 0,
-          paged_blocks: int = 0, prefix_cache: bool = True):
+          paged_blocks: int = 0, prefix_cache: bool = True,
+          max_pending: int = 0):
     LlamaHTTPServer(engine, model_name, continuous_slots=continuous_slots,
-                    paged_blocks=paged_blocks,
-                    prefix_cache=prefix_cache).serve_forever(host, port)
+                    paged_blocks=paged_blocks, prefix_cache=prefix_cache,
+                    max_pending=max_pending).serve_forever(host, port)

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from llama_nuts_and_bolts_tpu.runtime.batch import generate_tokens_batched
 from llama_nuts_and_bolts_tpu.runtime.types import GenerationState
 
-from tests.test_streaming import ENGINE, make_engine
+from tests.test_streaming import ENGINE
 
 
 def collect(prompts, engine=ENGINE):

@@ -3,11 +3,9 @@
 import builtins
 import io
 
-import pytest
 
 from llama_nuts_and_bolts_tpu.cli.main import (
     PREDEFINED_PROMPTS,
-    PromptInput,
     ask_user_prompt_choice,
     parse_args,
 )

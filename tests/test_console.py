@@ -17,7 +17,6 @@ import io
 import re
 
 from llama_nuts_and_bolts_tpu.cli.console import AppState, spaces_after_emoji
-from llama_nuts_and_bolts_tpu.runtime.types import TokenPiece
 
 from tests.test_streaming import ENGINE, byte_token_ids
 

@@ -1,6 +1,5 @@
 """On-device block generation must reproduce the host-loop token stream."""
 
-import numpy as np
 
 from llama_nuts_and_bolts_tpu.runtime.device_loop import generate_block
 

@@ -3,7 +3,6 @@ kernel must match the jnp reference path across shapes, start positions,
 padding, and block-size edge cases."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -51,7 +51,6 @@ def test_native_is_faster():
              for _ in range(200)]
     text = " ".join(words) * 20
     native = NativeBpe(RANKS)
-    import regex
     from llama_nuts_and_bolts_tpu.tokenizer.bpe import _SPLIT_RE
 
     pieces = [m.group().encode() for m in _SPLIT_RE.finditer(text)]

@@ -2,7 +2,6 @@
 an independent numpy computation, plus sampling-filter semantics."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ int8 pools, eviction under pressure, and stat reporting.
 
 import random
 
-import numpy as np
 import pytest
 
 from llama_nuts_and_bolts_tpu.runtime.block_pool import (

@@ -9,7 +9,7 @@ import pickle
 
 import pytest
 
-from llama_nuts_and_bolts_tpu.io.pickle_vm import PickleVM, UnpickleError, loads
+from llama_nuts_and_bolts_tpu.io.pickle_vm import UnpickleError, loads
 
 
 CASES = [
@@ -72,8 +72,6 @@ def test_tuple3_not_duplicated():
 def test_global_requires_hook():
     class Cls:
         pass
-
-    import pickletools
 
     data = pickle.dumps(CASES[0])
     with pytest.raises(UnpickleError):

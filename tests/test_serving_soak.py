@@ -139,3 +139,83 @@ def test_serving_soak_concurrent_streams():
             assert json.loads(r.read())["status"] == "ok"
     finally:
         srv.shutdown()
+
+
+@pytest.mark.slow
+def test_serving_overload_bounded_admission():
+    """Overload phase: far more concurrent requests than admission slots.
+    Asserts the fail-fast posture at production scale (SURVEY §5.3): excess
+    load gets an immediate, well-formed 429 (+Retry-After) instead of an
+    unbounded handler-thread pileup; every ADMITTED request completes
+    correctly; the server drains clean and keeps serving."""
+    engine = make_engine(sequence_length=64)
+    srv = LlamaHTTPServer(engine, model_name="tiny-overload",
+                          continuous_slots=2, paged_blocks=48, max_pending=3)
+    port = srv.start_background()
+    base = f"http://127.0.0.1:{port}"
+    N_FLOOD = 16
+    try:
+        msg = {"messages": [{"role": "user", "content": "overload probe"}],
+               "max_tokens": MAX_TOKENS}
+        status, body = _post(base + "/v1/chat/completions", msg)
+        assert status == 200
+        expected = body["choices"][0]["message"]["content"]
+
+        results = []
+        lock = threading.Lock()
+        barrier = threading.Barrier(N_FLOOD)
+
+        def client(i):
+            barrier.wait()
+            try:
+                status, body = _post(base + "/v1/chat/completions", msg)
+                with lock:
+                    results.append((status, body, None))
+            except urllib.request.HTTPError as exc:
+                payload = json.loads(exc.read() or b"{}")
+                with lock:
+                    results.append((exc.code, payload,
+                                    exc.headers.get("Retry-After")))
+            except Exception as exc:  # noqa: BLE001 - recorded, not raised
+                with lock:
+                    results.append((None, repr(exc), None))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(N_FLOOD)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=240)
+        assert not any(t.is_alive() for t in threads), "flood client hung"
+        assert len(results) == N_FLOOD
+
+        ok = [r for r in results if r[0] == 200]
+        rejected = [r for r in results if r[0] == 429]
+        other = [r for r in results if r[0] not in (200, 429)]
+        assert not other, other[:5]
+        # the bound actually bit: with 16 near-simultaneous requests and 3
+        # admission slots, rejections must occur — and every admitted
+        # request produced the correct greedy answer
+        assert rejected, "overload never produced a 429"
+        assert ok, "no request was admitted under overload"
+        for _, body, _ in ok:
+            assert body["choices"][0]["message"]["content"] == expected
+        for code, payload, retry_after in rejected:
+            assert payload["error"]["type"] == "overloaded_error"
+            assert retry_after is not None
+        # rejections are visible in metrics, and the server drains clean
+        m = _metrics(base)
+        assert m["llama_requests_rejected_total"] >= len(rejected)
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and _metrics(base)[
+                "llama_inflight_requests"] > 0:
+            time.sleep(0.2)
+        assert _metrics(base)["llama_inflight_requests"] == 0
+        if "llama_kv_blocks_in_use" in m:
+            assert _metrics(base)["llama_kv_blocks_in_use"] == 0
+        # and it still serves after the flood
+        status, body = _post(base + "/v1/chat/completions", msg)
+        assert status == 200
+        assert body["choices"][0]["message"]["content"] == expected
+    finally:
+        srv.shutdown()

@@ -13,7 +13,6 @@ from llama_nuts_and_bolts_tpu.io.params import ModelArgs
 from llama_nuts_and_bolts_tpu.models.llama import forward, init_random_params
 from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
 from llama_nuts_and_bolts_tpu.parallel import (
-    cache_sharding,
     make_mesh,
     param_sharding_fn,
     shard_cache,
@@ -107,8 +106,6 @@ def test_dp_tp_batched(params):
 
 def test_sharded_loader_path(params):
     """The loader's sharding_fn hook places weight groups directly."""
-    import torch
-
     from llama_nuts_and_bolts_tpu.models.llama import build_params_from_checkpoint
     from tests.test_model import make_torch_weights, to_host_tensors
 

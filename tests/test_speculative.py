@@ -1,7 +1,6 @@
 """Prompt-lookup speculative decoding: proposer unit tests + exact greedy
 equivalence (speculative decode must emit the vanilla greedy sequence)."""
 
-import numpy as np
 import pytest
 
 from llama_nuts_and_bolts_tpu.runtime.speculative import (

@@ -9,7 +9,6 @@ the reference's ``enescakir/emoji`` aliases exactly (``:flag_for_turkey:``,
 ``searchMinimumEmojiCount``.
 """
 
-import base64
 
 import numpy as np
 import pytest
@@ -20,7 +19,6 @@ from llama_nuts_and_bolts_tpu.io.params import ModelArgs
 from llama_nuts_and_bolts_tpu.models.llama import init_random_params
 from llama_nuts_and_bolts_tpu.models.llama.loader import LoadedModel
 from llama_nuts_and_bolts_tpu.runtime import (
-    GeneratedPart,
     GenerationState,
     InferenceArgs,
     InferenceEngine,

@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 import torch
 
-from llama_nuts_and_bolts_tpu.io.params import ModelArgs, find_model_dir, load_model_args
+from llama_nuts_and_bolts_tpu.io.params import ModelArgs, load_model_args
 from llama_nuts_and_bolts_tpu.io.torch_ckpt import bfloat16, load_torch_checkpoint
 
 
