@@ -697,6 +697,8 @@ def _quant_sections(w: StageWriter, jax) -> None:
 
     def run_decode(name, params, cfg_run, cache, tok, start, transform=None,
                    impl=None):
+        batch = cache.k.shape[1]
+
         def decode(params, cache, tok, start_pos):
             if transform is not None:
                 params = transform(params)
@@ -716,12 +718,12 @@ def _quant_sections(w: StageWriter, jax) -> None:
         toks, cache2 = djit(params, cache, tok, start)
         sync(toks)  # compile
         del cache2
-        cache = KVCache.create(cfg_run, 1, cache.k.shape[3],
+        cache = KVCache.create(cfg_run, batch, cache.k.shape[3],
                                dtype=cache.k.dtype)
         t0 = time.perf_counter()
         toks, cache2 = djit(params, cache, tok, start)
         sync(toks)
-        rate = decode_steps / (time.perf_counter() - t0)
+        rate = batch * decode_steps / (time.perf_counter() - t0)
         w.section(name, round(rate, 2))
         w.mark(f"{name} {rate:.2f} tok/s")
         del cache2
@@ -756,6 +758,22 @@ def _quant_sections(w: StageWriter, jax) -> None:
         run_decode("full_8b_8k_ctx_int4w_int8kv_tokens_per_s", q4p8k, cfg8k,
                    KVCache.create(cfg8k, 1, 8192, dtype=jnp.int8),
                    jnp.ones((1, 1), jnp.int32), 8192 - decode_steps - 2,
+                   transform=nativize_q4, impl="flash")
+
+        # continuous-batching serving shape: 4 slots at PER-ROW positions
+        # (the vector-start_pos path runtime/continuous.py steps), full 8B
+        # int4 weights, 8K context — int8 KV via the flash decode kernel
+        # vs bf16 KV via XLA, total tokens/s across the slots
+        B_CONT = 4
+        poss = jnp.full((B_CONT,), 8192 - decode_steps - 2, jnp.int32)
+        run_decode("continuous_8k_b4_int4w_bf16kv_xla_tokens_per_s",
+                   q4p8k, cfg8k, KVCache.create(cfg8k, B_CONT, 8192),
+                   jnp.ones((B_CONT, 1), jnp.int32), poss,
+                   transform=nativize_q4, impl="xla")
+        run_decode("continuous_8k_b4_int4w_int8kv_flash_tokens_per_s",
+                   q4p8k, cfg8k,
+                   KVCache.create(cfg8k, B_CONT, 8192, dtype=jnp.int8),
+                   jnp.ones((B_CONT, 1), jnp.int32), poss,
                    transform=nativize_q4, impl="flash")
         del q4p8k, q4params
     except Exception as exc:  # noqa: BLE001

@@ -73,9 +73,13 @@ def _decode_kernel_blocked(start_pos_ref, layer_ref, q_ref, k_ref, v_ref,
         def tile(ref, s_ref):
             t = ref[0, 0, 0]
             if quantized:
+                # dequantize on the bf16 VPU path: int8 values (7 bits) and
+                # bf16 scales are exactly representable, so f32 math only
+                # cost throughput. The minor-dim reshape must happen in f32
+                # (Mosaic: non-no-op minor-dim insertion is 32-bit only).
                 s = s_ref[0, 0, 0, 0].astype(jnp.float32)
-                t = (t.astype(jnp.float32) * s.reshape(block_k, 1))
-                t = t.astype(jnp.bfloat16)
+                s = s.reshape(block_k, 1).astype(jnp.bfloat16)
+                t = t.astype(jnp.bfloat16) * s
             return t                                     # [block_k, D] bf16
 
         k_tile = tile(k_ref, ks_ref)

@@ -192,7 +192,13 @@ def forward(
         slicing the layer out first would make XLA materialize a full
         [B, KV, T, D] copy per step as the pallas operand."""
         if attn_impl == "flash":
-            block_k = next((b for b in (512, 256, 128) if T % b == 0), T)
+            # decode (S=1) prefers LARGE cache tiles: fewer grid steps mean
+            # less per-tile fixed cost, and a [2048, 128] bf16 tile is only
+            # 512 KB of VMEM — measured 0.174 (XLA) / 0.133 (bk512) / 0.096
+            # (bk2048) ms per 8K attention call on v5e. Prefill keeps
+            # smaller tiles (its VMEM also holds q/o blocks).
+            sizes = (2048, 1024, 512, 256, 128) if S == 1 else (512, 256, 128)
+            block_k = next((b for b in sizes if T % b == 0), T)
             if mesh is not None:
                 # GSPMD cannot partition pallas_call: on a tp mesh the kernel
                 # runs head-local inside shard_map (parallel/kernel_shard.py)

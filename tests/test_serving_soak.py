@@ -37,12 +37,27 @@ def _post(url, obj, timeout=180):
         return resp.status, json.loads(resp.read())
 
 
-def _stream(url, obj, timeout=180):
-    """POST with stream=True; returns (status, joined_text, well_formed)."""
+def _stream(url, obj, timeout=180, max_429_retries=10):
+    """POST with stream=True; returns (status, joined_text, well_formed).
+
+    Honors 429 + Retry-After like a well-behaved client: with N_CLIENTS at
+    exactly the server's admission bound, a client can legitimately race
+    its own previous handler's admission release by a few milliseconds."""
     req = urllib.request.Request(
         url, data=json.dumps({**obj, "stream": True}).encode(), method="POST",
         headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
+    for _ in range(max_429_retries):
+        try:
+            resp_cm = urllib.request.urlopen(req, timeout=timeout)
+            break
+        except urllib.error.HTTPError as exc:
+            if exc.code != 429:
+                raise
+            exc.read()
+            time.sleep(float(exc.headers.get("Retry-After", 1)) * 0.1)
+    else:
+        return 429, "", False
+    with resp_cm as resp:
         raw = resp.read().decode()
         status = resp.status
     events = [line[6:] for line in raw.split("\n") if line.startswith("data: ")]
