@@ -182,6 +182,18 @@ def parent_main() -> None:
     _run_stage("main", min(400.0, left() - 40), results,
                hard_cap_s=left() - 5)
     detail = results.setdefault("detail", {})
+    if (results.get("value") is None and "device" in detail
+            and left() > 360):
+        # reached the device but died without a headline (observed cause:
+        # transient RESOURCE_EXHAUSTED while another client's buffers are
+        # still being reclaimed). With real budget left, a cooled-down
+        # retry of the FULL config beats settling for the small fallback.
+        cooldown = min(150.0, left() - 300)
+        print(f"bench: main died post-device — cooling {cooldown:.0f}s and "
+              "retrying full config", file=sys.stderr, flush=True)
+        time.sleep(cooldown)
+        _run_stage("main", min(400.0, left() - 40), results,
+                   hard_cap_s=left() - 5)
     if results.get("value") is None and "device" not in detail:
         # killed while still waiting on its first device RPC: that is a
         # TUNNEL OUTAGE, not a framework regression — record it as such and
