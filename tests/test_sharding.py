@@ -425,3 +425,40 @@ def test_tp_continuous_batcher_matches_sequential(params):
     for p, r in zip(prompts, reqs):
         got = [(s, t) for s, t in r.tokens(timeout=30)]
         assert got == ref[tuple(p)], f"divergence for {p}"
+
+
+def test_tp_flash_decode_per_row_positions(params):
+    """Continuous batching on a mesh: vector start_pos (every batch row at
+    its own position) through the TP flash decode kernel — the serving
+    scheduler's sharded fast path. dp shards the rows, tp the heads; must
+    match the unsharded per-row XLA path."""
+    mesh = make_mesh(tp=4, dp=2)
+    sp = shard_params(params, mesh)
+    fwd_st = jax.jit(forward, static_argnums=(1,),
+                     static_argnames=("attn_impl", "mesh"))
+
+    B = 2
+    toks = jnp.asarray([[9], [13]], jnp.int32)
+    poss = jnp.asarray([5, 11], jnp.int32)
+
+    def seeded_cache():
+        c = KVCache.create(CFG, B, 32)
+        full = (jax.random.normal(jax.random.PRNGKey(12), c.k.shape,
+                                  jnp.float32) * 0.1).astype(jnp.bfloat16)
+        return KVCache(k=full, v=full + 0.03)
+
+    ref_logits, ref_cache = FWD(params, CFG, toks, poss, seeded_cache())
+    tp_cache = shard_cache(seeded_cache(), mesh)
+    got_logits, tp_cache = fwd_st(sp, CFG, jax.device_put(
+        toks, token_sharding(mesh)), poss, tp_cache,
+        attn_impl="flash", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_array_equal(
+        np.asarray(got_logits).argmax(-1), np.asarray(ref_logits).argmax(-1))
+    # per-row cache writes landed at each row's own position
+    for f in ("k", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(tp_cache, f), np.float32),
+            np.asarray(getattr(ref_cache, f), np.float32),
+            rtol=3e-2, atol=3e-2)
