@@ -494,24 +494,33 @@ def stage_main(w: StageWriter, small: bool = False) -> None:
     # (BASELINE metric "p50 TTFT"; reference prefill path
     # src/inference/inference.go:195-202)
     try:
-        w.mark("compile prefill-512")
+        w.mark("compile prefill-512 (flash = the engine's TPU default, + xla)")
         prompt512 = jnp.ones((1, 512), dtype=jnp.int32)
-        fwd512 = jax.jit(forward, static_argnums=(1,))
+        fwd512 = jax.jit(forward, static_argnums=(1,),
+                         static_argnames=("attn_impl",))
         c512 = KVCache.create(cfg, 1, 1024)
-        logits, _ = fwd512(params, cfg, prompt512, 0, c512)
-        sync(logits)
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            logits, _ = fwd512(params, cfg, prompt512, 0, c512)
-            tok512 = jnp.argmax(logits[:, -1:], axis=-1)
-            sync(tok512)
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        p50 = times[len(times) // 2]
+        impls = ["xla"] if TINY_MODE else ["flash", "xla"]
+        p50s = {}
+        for impl in impls:
+            logits, _ = fwd512(params, cfg, prompt512, 0, c512,
+                               attn_impl=impl)
+            sync(logits)
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                logits, _ = fwd512(params, cfg, prompt512, 0, c512,
+                                   attn_impl=impl)
+                tok512 = jnp.argmax(logits[:, -1:], axis=-1)
+                sync(tok512)
+                times.append(time.perf_counter() - t0)
+            times.sort()
+            p50s[impl] = times[len(times) // 2]
+            w.section(f"p50_ttft_512_{impl}_s", round(p50s[impl], 4))
+        p50 = min(p50s.values())
         w.section("p50_ttft_512_s", round(p50, 4))
         w.section("prefill_512_tokens_per_s", round(512 / p50, 1))
-        w.mark(f"p50 TTFT@512 {p50 * 1e3:.1f} ms")
+        w.mark(f"p50 TTFT@512 {p50 * 1e3:.1f} ms "
+               f"({ {k: round(v * 1e3, 1) for k, v in p50s.items()} })")
     except Exception as exc:  # noqa: BLE001
         w.mark(f"ttft512 skipped: {exc}")
 

@@ -110,6 +110,70 @@ def _decode_kernel_blocked(start_pos_ref, layer_ref, q_ref, k_ref, v_ref,
         o_ref[0, 0] = out.reshape(1, groups, head_dim).astype(o_ref.dtype)
 
 
+def _decode_kernel_blocked_heads(start_pos_ref, layer_ref, q_ref, k_ref,
+                                 v_ref, ks_ref, vs_ref, o_ref,
+                                 acc_ref, m_ref, l_ref,
+                                 *, block_k: int, kv_heads: int, groups: int,
+                                 head_dim: int, scale: float, quantized: bool,
+                                 nkb: int):
+    """Folded-heads variant: grid (batch, k_tile) — ONE program per cache
+    tile serves ALL KV heads (their tiles arrive in one strided DMA block).
+    At batched decode the (B, KV, k_tile) grid's per-program fixed cost
+    (index maps, q load, softmax epilogue) dominates; folding the KV axis
+    amortizes it 8x for Llama's 8 KV heads. Costs VMEM: the k/v blocks are
+    KV x block_k x D, so block_k shrinks vs the per-head kernel."""
+    del layer_ref
+    start_pos = start_pos_ref[pl.program_id(0)]
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(kb * block_k <= start_pos)
+    def _compute():
+        k_pos = kb * block_k + lax.broadcasted_iota(
+            jnp.int32, (groups, block_k), 1)
+        vis = k_pos <= start_pos
+        for h in range(kv_heads):          # static unroll: resident tiles
+            q = q_ref[0, 0, h].reshape(groups, head_dim)
+            kt = k_ref[0, 0, h]
+            vt = v_ref[0, 0, h]
+            if quantized:
+                sk = ks_ref[0, 0, h, 0].astype(jnp.float32)
+                sk = sk.reshape(block_k, 1).astype(jnp.bfloat16)
+                sv = vs_ref[0, 0, h, 0].astype(jnp.float32)
+                sv = sv.reshape(block_k, 1).astype(jnp.bfloat16)
+                kt = kt.astype(jnp.bfloat16) * sk
+                vt = vt.astype(jnp.bfloat16) * sv
+            s = lax.dot_general(
+                q, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                     # [G, block_k]
+            s = jnp.where(vis, s, NEG_INF)
+            sl = slice(h * groups, (h + 1) * groups)
+            m = m_ref[sl, :]
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_ref[sl, :] = l_ref[sl, :] * corr + jnp.sum(p, axis=1,
+                                                         keepdims=True)
+            pv = lax.dot_general(
+                p.astype(vt.dtype), vt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[sl, :] = acc_ref[sl, :] * corr + pv
+            m_ref[sl, :] = m_new
+
+    @pl.when(kb == nkb - 1)
+    def _fin():
+        out = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0, 0] = out.reshape(kv_heads, groups,
+                                  head_dim).astype(o_ref.dtype)
+
+
 def _decode_kernel(start_pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
                    *, block_k: int, groups: int, head_dim: int, scale: float,
                    quantized: bool):
@@ -177,6 +241,7 @@ def flash_decode_attention(
     interpret: bool | None = None,
     blocked: bool = True,
     layer=None,            # traced int32: k/v are the WHOLE stacked cache
+    fold_heads: bool = False,  # one program per tile serves ALL KV heads
 ) -> jnp.ndarray:
     """Returns [B, 1, H, D] in q.dtype. Each query attends slots ≤ its
     start_pos (which includes its own just-written row); a [B] ``start_pos``
@@ -232,6 +297,62 @@ def flash_decode_attention(
     start_arr = jnp.broadcast_to(
         jnp.asarray(start_pos, jnp.int32).reshape(-1), (B,))
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    if blocked and fold_heads:
+        # one program per cache tile serves ALL KV heads; k AND v blocks,
+        # each double-buffered, share the 16 MB VMEM with q/o/scratch —
+        # bound each block to 2 MB
+        per_slot = KV * D * (1 if quantized else 2)
+        while block_k * per_slot > 2 * 1024 * 1024 and block_k > 128:
+            block_k //= 2
+        if T % block_k:
+            block_k = next((b for b in (512, 256, 128) if T % b == 0), T)
+        nkb = T // block_k
+        kernel = functools.partial(
+            _decode_kernel_blocked_heads, block_k=block_k, kv_heads=KV,
+            groups=G, head_dim=D, scale=scale, quantized=quantized, nkb=nkb)
+
+        def kv_index_h(b, kb, sp_ref, li_ref):
+            vis = kb * block_k <= sp_ref[b]
+            return (li_ref[0], b, 0,
+                    jnp.where(vis, kb, sp_ref[b] // block_k), 0)
+
+        def scale_index_h(b, kb, sp_ref, li_ref):
+            if not quantized:
+                return (0, b, 0, 0, 0)
+            vis = kb * block_k <= sp_ref[b]
+            return (li_ref[0], b, 0, 0,
+                    jnp.where(vis, kb, sp_ref[b] // block_k))
+
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, nkb),
+                in_specs=[
+                    pl.BlockSpec((1, 1, KV, G, D),
+                                 lambda b, kb, sp, li: (b, 0, 0, 0, 0)),
+                    pl.BlockSpec((1, 1, KV, block_k, D), kv_index_h),
+                    pl.BlockSpec((1, 1, KV, block_k, D), kv_index_h),
+                    pl.BlockSpec((1, 1, KV, 1, block_k if quantized else s_len),
+                                 scale_index_h),
+                    pl.BlockSpec((1, 1, KV, 1, block_k if quantized else s_len),
+                                 scale_index_h),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, KV, G, D), lambda b, kb, sp, li: (b, 0, 0, 0, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((KV * G, D), jnp.float32),
+                    pltpu.VMEM((KV * G, 1), jnp.float32),
+                    pltpu.VMEM((KV * G, 1), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, 1, KV, G, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )(start_arr, layer_arr, qg, k, v, k_scale, v_scale)
+        return out.reshape(B, 1, H, D)
 
     if blocked:
         nkb = T // block_k

@@ -140,7 +140,15 @@ def nativize_q4(value):
     """
     def conv(v):
         if isinstance(v, Q4Tensor):
-            return Q4Native(w4=_unpack_nibbles(v.packed).astype(jnp.int4),
+            # convert each half to int4 BEFORE concatenating: the int32
+            # unpack then fuses into the convert (a streaming loop) instead
+            # of materializing two full-weight-size s32 temps — 3.5 GB each
+            # for the stacked FFN weights, observed OOMing an otherwise
+            # comfortable B=4 8K continuous-batching config
+            p = v.packed.astype(jnp.int32)
+            lo = ((p & 0xF) - 8).astype(jnp.int4)
+            hi = ((p >> 4) - 8).astype(jnp.int4)
+            return Q4Native(w4=jnp.concatenate([lo, hi], axis=-1),
                             scale=v.scale.astype(jnp.float32))
         return v
 
