@@ -776,6 +776,13 @@ def _quant_sections(w: StageWriter, jax) -> None:
             cfg8.head_dim, 2 * 8192, cfg8.rope_theta, cfg8.use_scaled_rope)
         q4p8k = dataclasses.replace(
             q4params, rope_cos=jnp.asarray(cos8), rope_sin=jnp.asarray(sin8))
+        # fastest-when-it-fits long-context config: int4 weights + bf16 KV
+        # through the flash kernel (int8 KV below trades ~8% speed for 2x
+        # the cache capacity — measured table in docs/07)
+        run_decode("full_8b_8k_ctx_int4w_bf16kv_flash_tokens_per_s",
+                   q4p8k, cfg8k, KVCache.create(cfg8k, 1, 8192),
+                   jnp.ones((1, 1), jnp.int32), 8192 - decode_steps - 2,
+                   transform=nativize_q4, impl="flash")
         run_decode("full_8b_8k_ctx_int4w_int8kv_tokens_per_s", q4p8k, cfg8k,
                    KVCache.create(cfg8k, 1, 8192, dtype=jnp.int8),
                    jnp.ones((1, 1), jnp.int32), 8192 - decode_steps - 2,

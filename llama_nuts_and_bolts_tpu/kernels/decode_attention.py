@@ -115,13 +115,22 @@ def _decode_kernel_blocked_heads(start_pos_ref, layer_ref, q_ref, k_ref,
                                  acc_ref, m_ref, l_ref,
                                  *, block_k: int, kv_heads: int, groups: int,
                                  head_dim: int, scale: float, quantized: bool,
-                                 nkb: int):
+                                 nkb: int, int8_mxu: bool):
     """Folded-heads variant: grid (batch, k_tile) — ONE program per cache
     tile serves ALL KV heads (their tiles arrive in one strided DMA block).
     At batched decode the (B, KV, k_tile) grid's per-program fixed cost
     (index maps, q load, softmax epilogue) dominates; folding the KV axis
     amortizes it 8x for Llama's 8 KV heads. Costs VMEM: the k/v blocks are
-    KV x block_k x D, so block_k shrinks vs the per-head kernel."""
+    KV x block_k x D, so block_k shrinks vs the per-head kernel.
+
+    ``int8_mxu`` (quantized caches only): keep the int8 cache tiles int8
+    all the way into the MXU. The query row is quantized per-row to int8
+    (one scale per row), QKᵀ runs as an int8xint8→s32 MXU dot, and ALL
+    scales (q rows, per-position k) apply to the small [G, block_k] score
+    matrix. For p·V, the per-position v scales fold into p BEFORE p is
+    quantized per-row to int8 — so no [block_k, D] tensor is ever
+    dequantized elementwise; the VPU only ever touches [G, block_k]
+    matrices (64x smaller at Llama shapes)."""
     del layer_ref
     start_pos = start_pos_ref[pl.program_id(0)]
     kb = pl.program_id(1)
@@ -141,17 +150,28 @@ def _decode_kernel_blocked_heads(start_pos_ref, layer_ref, q_ref, k_ref,
             q = q_ref[0, 0, h].reshape(groups, head_dim)
             kt = k_ref[0, 0, h]
             vt = v_ref[0, 0, h]
-            if quantized:
-                sk = ks_ref[0, 0, h, 0].astype(jnp.float32)
-                sk = sk.reshape(block_k, 1).astype(jnp.bfloat16)
-                sv = vs_ref[0, 0, h, 0].astype(jnp.float32)
-                sv = sv.reshape(block_k, 1).astype(jnp.bfloat16)
-                kt = kt.astype(jnp.bfloat16) * sk
-                vt = vt.astype(jnp.bfloat16) * sv
-            s = lax.dot_general(
-                q, kt, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale                                     # [G, block_k]
+            if quantized and int8_mxu:
+                qf = q.astype(jnp.float32)
+                qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True),
+                                 1e-8) / 127.0            # [G, 1]
+                q_i = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+                s32 = lax.dot_general(
+                    q_i, kt, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)     # [G, block_k]
+                ks_row = ks_ref[0, 0, h, 0].astype(jnp.float32)  # [block_k]
+                s = s32.astype(jnp.float32) * (qs * scale) * ks_row[None, :]
+            else:
+                if quantized:
+                    sk = ks_ref[0, 0, h, 0].astype(jnp.float32)
+                    sk = sk.reshape(block_k, 1).astype(jnp.bfloat16)
+                    sv = vs_ref[0, 0, h, 0].astype(jnp.float32)
+                    sv = sv.reshape(block_k, 1).astype(jnp.bfloat16)
+                    kt = kt.astype(jnp.bfloat16) * sk
+                    vt = vt.astype(jnp.bfloat16) * sv
+                s = lax.dot_general(
+                    q, kt, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale                                 # [G, block_k]
             s = jnp.where(vis, s, NEG_INF)
             sl = slice(h * groups, (h + 1) * groups)
             m = m_ref[sl, :]
@@ -160,10 +180,22 @@ def _decode_kernel_blocked_heads(start_pos_ref, layer_ref, q_ref, k_ref,
             corr = jnp.exp(m - m_new)
             l_ref[sl, :] = l_ref[sl, :] * corr + jnp.sum(p, axis=1,
                                                          keepdims=True)
-            pv = lax.dot_general(
-                p.astype(vt.dtype), vt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if quantized and int8_mxu:
+                vs_row = vs_ref[0, 0, h, 0].astype(jnp.float32)  # [block_k]
+                pf = p * vs_row[None, :]                  # scales fold into p
+                ps = jnp.maximum(
+                    jnp.max(jnp.abs(pf), axis=1, keepdims=True),
+                    1e-30) / 127.0                        # [G, 1]
+                p_i = jnp.clip(jnp.round(pf / ps), -127, 127).astype(jnp.int8)
+                pv32 = lax.dot_general(
+                    p_i, vt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)     # [G, D]
+                pv = pv32.astype(jnp.float32) * ps
+            else:
+                pv = lax.dot_general(
+                    p.astype(vt.dtype), vt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             acc_ref[sl, :] = acc_ref[sl, :] * corr + pv
             m_ref[sl, :] = m_new
 
@@ -242,6 +274,8 @@ def flash_decode_attention(
     blocked: bool = True,
     layer=None,            # traced int32: k/v are the WHOLE stacked cache
     fold_heads: bool = False,  # one program per tile serves ALL KV heads
+    int8_mxu: bool = False,    # int8 caches: int8xint8 MXU dots, scales
+                               # folded into the small score/prob matrices
 ) -> jnp.ndarray:
     """Returns [B, 1, H, D] in q.dtype. Each query attends slots ≤ its
     start_pos (which includes its own just-written row); a [B] ``start_pos``
@@ -310,7 +344,8 @@ def flash_decode_attention(
         nkb = T // block_k
         kernel = functools.partial(
             _decode_kernel_blocked_heads, block_k=block_k, kv_heads=KV,
-            groups=G, head_dim=D, scale=scale, quantized=quantized, nkb=nkb)
+            groups=G, head_dim=D, scale=scale, quantized=quantized, nkb=nkb,
+            int8_mxu=int8_mxu and quantized)
 
         def kv_index_h(b, kb, sp_ref, li_ref):
             vis = kb * block_k <= sp_ref[b]

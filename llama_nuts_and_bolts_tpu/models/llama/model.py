@@ -210,7 +210,8 @@ def forward(
                 if S == 1:
                     return tp_flash_decode_attention(
                         mesh, q, ck, cv, start_pos, k_scale=cks, v_scale=cvs,
-                        block_k=block_k, layer=layer)
+                        block_k=block_k, layer=layer,
+                        fold_heads=quantized, int8_mxu=quantized)
                 return tp_flash_gqa_attention(mesh, q, ck, cv, start_pos,
                                               block_k=block_k)
             if S == 1:
@@ -218,9 +219,15 @@ def forward(
                     flash_decode_attention,
                 )
 
+                # int8 caches default to the folded-heads int8xint8-MXU
+                # kernel: per-position scales fold into the small score/
+                # prob matrices, so no tile is ever dequantized
+                # elementwise (measured +19.5% at B=4/8K, docs/07)
                 return flash_decode_attention(q, ck, cv, start_pos,
                                               k_scale=cks, v_scale=cvs,
-                                              block_k=block_k, layer=layer)
+                                              block_k=block_k, layer=layer,
+                                              fold_heads=quantized,
+                                              int8_mxu=quantized)
             from llama_nuts_and_bolts_tpu.kernels.attention import flash_gqa_attention
 
             return flash_gqa_attention(q, ck, cv, start_pos, block_k=block_k)

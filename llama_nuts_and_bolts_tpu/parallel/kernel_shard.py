@@ -35,7 +35,9 @@ def _smap(fn, mesh: Mesh, in_specs, out_specs):
 
 def tp_flash_decode_attention(mesh: Mesh, q, k, v, start_pos,
                               k_scale=None, v_scale=None,
-                              block_k: int = 512, layer=None):
+                              block_k: int = 512, layer=None,
+                              fold_heads: bool = False,
+                              int8_mxu: bool = False):
     """flash_decode_attention over a (dp, tp)-sharded batch/head layout.
     A [B] ``start_pos`` vector (continuous batching) shards with the batch
     rows it describes; a scalar replicates. With ``layer``, k/v are the
@@ -53,7 +55,9 @@ def tp_flash_decode_attention(mesh: Mesh, q, k, v, start_pos,
         def fn(q, k, v, sp, ks, vs, li):
             return flash_decode_attention(q, k, v, sp, k_scale=ks, v_scale=vs,
                                           block_k=block_k,
-                                          layer=li if stacked else None)
+                                          layer=li if stacked else None,
+                                          fold_heads=fold_heads,
+                                          int8_mxu=int8_mxu)
         return _smap(fn, mesh,
                      (q_spec, kv_spec, kv_spec, sp_spec, s_spec, s_spec, P()),
                      q_spec)(q, k, v, start_pos, k_scale, v_scale,
@@ -61,7 +65,8 @@ def tp_flash_decode_attention(mesh: Mesh, q, k, v, start_pos,
 
     def fn(q, k, v, sp, li):
         return flash_decode_attention(q, k, v, sp, block_k=block_k,
-                                      layer=li if stacked else None)
+                                      layer=li if stacked else None,
+                                      fold_heads=fold_heads)
     return _smap(fn, mesh, (q_spec, kv_spec, kv_spec, sp_spec, P()), q_spec)(
         q, k, v, start_pos, layer if stacked else 0)
 

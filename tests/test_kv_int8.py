@@ -147,3 +147,37 @@ def test_speculative_with_int8_cache():
     ref = list(make_engine(sequence_length=24,
                            kv_cache_dtype="int8").generate_tokens([3, 3, 3, 3]))
     assert out == ref  # same int8-cache numerics → exact equivalence
+
+
+def test_flash_decode_fold_heads_int8_mxu_matches_dequant():
+    """The int8xint8-MXU score path (q quantized per row, per-position
+    scales folded into the small score/prob matrices) must agree with the
+    dequantizing reference path within the cache's own quantization noise."""
+    from llama_nuts_and_bolts_tpu.kernels.decode_attention import (
+        flash_decode_attention,
+    )
+    from llama_nuts_and_bolts_tpu.models.llama.model import (
+        attention_mask_per_row,
+    )
+    from llama_nuts_and_bolts_tpu.ops import gqa_attention
+
+    B, H, KV, D, T = 2, 8, 2, 128, 64
+    ks_ = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks_[0], (B, 1, H, D), jnp.float32).astype(jnp.bfloat16)
+    kf = np.asarray(jax.random.normal(ks_[1], (B, KV, T, D), jnp.float32))
+    vf = np.asarray(jax.random.normal(ks_[2], (B, KV, T, D), jnp.float32))
+    s_k = np.abs(kf).max(-1).clip(1e-8) / 127.0
+    s_v = np.abs(vf).max(-1).clip(1e-8) / 127.0
+    k8 = jnp.asarray(np.clip(np.rint(kf / s_k[..., None]), -127, 127), jnp.int8)
+    v8 = jnp.asarray(np.clip(np.rint(vf / s_v[..., None]), -127, 127), jnp.int8)
+    ksc = jnp.asarray(s_k, jnp.bfloat16)
+    vsc = jnp.asarray(s_v, jnp.bfloat16)
+    kd = k8.astype(jnp.bfloat16) * ksc[..., None]
+    vd = v8.astype(jnp.bfloat16) * vsc[..., None]
+    pos = jnp.asarray([17, 63], jnp.int32)
+    mask = attention_mask_per_row(1, T, pos)
+    ref = np.asarray(gqa_attention(q, kd, vd, mask), np.float32)
+    got = np.asarray(flash_decode_attention(
+        q, k8, v8, pos, k_scale=ksc, v_scale=vsc, block_k=16, interpret=True,
+        fold_heads=True, int8_mxu=True), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-2)
