@@ -80,6 +80,76 @@ def _paged_kernel(tbl_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0, 0, 0] = out.astype(o_ref.dtype)
 
 
+def _paged_kernel_heads(tbl_ref, pos_ref, layer_ref, *refs,
+                        bs: int, kv_heads: int, groups: int,
+                        head_dim: int, scale: float, grid_m: int, chunk: int):
+    """Folded-heads, multi-block paged kernel: grid (batch, block_group).
+
+    One program serves ALL KV heads for a GROUP of ``chunk`` consecutive
+    table entries: each entry's pool block arrives as its own DMA (blocks
+    are scattered in the pool), but in-kernel they concatenate into one
+    [chunk*bs, D] tile per head, so the MXU sees 512-deep dots instead of
+    64-deep ones. Measured motivation: with one 64-row block per grid step
+    the per-step op latency (~27 µs across the 8-head unroll) made the
+    kernel 4x slower than the XLA gather path — the work per step was too
+    small, not the bytes. ``layer`` (third prefetch scalar) selects the
+    layer of the stacked pool (flattened to [L*n_blocks, KV, bs, D]), so
+    the per-layer scan feeds the carried pool without a slice
+    materialization (see kernels/decode_attention.py)."""
+    q_ref = refs[0]
+    k_refs = refs[1:1 + chunk]
+    v_refs = refs[1 + chunk:1 + 2 * chunk]
+    o_ref = refs[1 + 2 * chunk]
+    acc_ref, m_ref, l_ref = refs[2 + 2 * chunk:]
+    del layer_ref  # consumed by the index maps only
+    b = pl.program_id(0)
+    m = pl.program_id(1)
+    pos = pos_ref[b]
+    used = pos // bs
+
+    @pl.when(m == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+        m_ref[:] = jnp.full(m_ref.shape, NEG_INF, jnp.float32)
+        l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+
+    @pl.when(m * chunk <= used)
+    def _tile():
+        # consecutive table entries hold consecutive positions: the whole
+        # group is one contiguous position range
+        span = chunk * bs
+        t_pos = m * span + lax.broadcasted_iota(jnp.int32, (groups, span), 1)
+        vis = t_pos <= pos
+        for h in range(kv_heads):          # static unroll: resident blocks
+            q = q_ref[0, 0, h]                                # [G, D] bf16
+            k_tile = jnp.concatenate([kr[0, h] for kr in k_refs], axis=0)
+            v_tile = jnp.concatenate([vr[0, h] for vr in v_refs], axis=0)
+            s = lax.dot_general(
+                q, k_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                         # [G, span]
+            s = jnp.where(vis, s, NEG_INF)
+            sl = slice(h * groups, (h + 1) * groups)
+            m_prev = m_ref[sl, :]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_prev - m_new)
+            l_ref[sl, :] = l_ref[sl, :] * corr + jnp.sum(p, axis=1,
+                                                         keepdims=True)
+            pv = lax.dot_general(
+                p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[sl, :] = acc_ref[sl, :] * corr + pv
+            m_ref[sl, :] = m_new
+
+    @pl.when(m == grid_m - 1)
+    def _flush():
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0, 0] = out.reshape(kv_heads, groups,
+                                  head_dim).astype(o_ref.dtype)
+
+
 def paged_flash_decode(
     q: jnp.ndarray,          # [B, 1, H, D]
     pool_k: jnp.ndarray,     # [n_blocks, KV, bs, D] bf16
@@ -88,18 +158,28 @@ def paged_flash_decode(
     positions: jnp.ndarray,  # int32 [B]
     scale: float | None = None,
     interpret: bool | None = None,
+    fold_heads: bool = True,
+    layer=None,              # traced int32: pools are the WHOLE [L, ...] stack
 ) -> jnp.ndarray:
     """Returns [B, 1, H, D] in q.dtype; row b attends pool slots holding its
     positions <= positions[b] (including the just-written row).
 
     ``interpret=None`` auto-selects: compiled on TPU, interpreter on CPU (so
-    the paged batcher's "pallas" path is testable on the CPU mesh)."""
+    the paged batcher's "pallas" path is testable on the CPU mesh).
+    ``layer`` (with stacked [L, n_blocks, KV, bs, D] pools) lets the
+    per-layer scan feed the whole carried pool without a per-step slice
+    materialization; requires fold_heads."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     B, S, H, D = q.shape
     if S != 1:
         raise ValueError("paged_flash_decode is the S=1 kernel")
-    n_blocks, KV, bs, _ = pool_k.shape
+    if layer is None:
+        pool_k, pool_v = pool_k[None], pool_v[None]
+        layer = 0
+    elif not fold_heads:
+        raise ValueError("stacked-pool layer mode requires fold_heads=True")
+    L, n_blocks, KV, bs, _ = pool_k.shape
     M = tables.shape[1]
     G = H // KV
     if scale is None:
@@ -108,6 +188,59 @@ def paged_flash_decode(
     qg = q.reshape(B, 1, KV, G, D)
     tables = tables.astype(jnp.int32)
     positions = positions.astype(jnp.int32)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    if fold_heads:
+        # flatten [L, n_blocks, ...] -> [L*n_blocks, ...] (a free view of
+        # the contiguous stack) and index blocks flat: li*n_blocks + table
+        pool_k = pool_k.reshape((L * n_blocks,) + pool_k.shape[2:])
+        pool_v = pool_v.reshape((L * n_blocks,) + pool_v.shape[2:])
+        # blocks per grid step: enough that each step's dots are >=512 deep
+        chunk = max(1, min(M, 512 // bs))
+        while M % chunk:
+            chunk -= 1
+        grid_m = M // chunk
+
+        def mk_index(j):
+            def k_index_h(b, m, tbl, pos, li):
+                mm = jnp.minimum(m * chunk + j, pos[b] // bs)
+                return (li[0] * n_blocks + tbl[b, mm], 0, 0, 0)
+            return k_index_h
+
+        kernel = functools.partial(
+            _paged_kernel_heads, bs=bs, kv_heads=KV, groups=G, head_dim=D,
+            scale=scale, grid_m=grid_m, chunk=chunk)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(B, grid_m),
+                in_specs=[
+                    pl.BlockSpec((1, 1, KV, G, D),
+                                 lambda b, m, tbl, pos, li: (b, 0, 0, 0, 0)),
+                    *[pl.BlockSpec((1, KV, bs, D), mk_index(j))
+                      for j in range(chunk)],
+                    *[pl.BlockSpec((1, KV, bs, D), mk_index(j))
+                      for j in range(chunk)],
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, KV, G, D),
+                    lambda b, m, tbl, pos, li: (b, 0, 0, 0, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((KV * G, D), jnp.float32),
+                    pltpu.VMEM((KV * G, 1), jnp.float32),
+                    pltpu.VMEM((KV * G, 1), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, 1, KV, G, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )(tables, positions, layer_arr, qg,
+          *([pool_k] * chunk), *([pool_v] * chunk))
+        return out.reshape(B, 1, H, D)
+
+    pool_k, pool_v = pool_k[0], pool_v[0]
 
     def k_index(b, kv, m, tbl, pos):
         # clamp past-the-end steps to the last used block: same index as the

@@ -141,6 +141,20 @@ def _write_chunks(pool_layer: jnp.ndarray, rows: jnp.ndarray,
     return lax.fori_loop(0, n_chunks, body, pool_layer)
 
 
+def _dense_from_gathered(q, k, v, positions, ks=None, vs=None):
+    """Dense GQA over per-row gathered blocks k/v [B, M, KV, bs, D]
+    (+ optional int8 scales [B, M, KV, bs])."""
+    B, M, KV, bs, D = k.shape
+    if ks is not None:
+        k = k.astype(jnp.bfloat16) * ks[..., None].astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16) * vs[..., None].astype(jnp.bfloat16)
+    k = k.transpose(0, 2, 1, 3, 4).reshape(B, KV, M * bs, D)
+    v = v.transpose(0, 2, 1, 3, 4).reshape(B, KV, M * bs, D)
+    t = lax.broadcasted_iota(jnp.int32, (B, 1, M * bs), 2)
+    mask = jnp.where(t <= positions[:, None, None], 0.0, -jnp.inf).astype(jnp.float32)
+    return gqa_attention(q, k, v, mask)
+
+
 def _gathered_attention(q, pool_k, pool_v, tables, positions,
                         pool_ks=None, pool_vs=None):
     """XLA paged-attention path: gather each row's blocks, then dense GQA.
@@ -150,20 +164,23 @@ def _gathered_attention(q, pool_k, pool_v, tables, positions,
     scale pools and the gathered tiles dequantize before the einsum.
     Visible slots are t <= positions[b].
     """
-    B, M = tables.shape
-    KV, bs, D = pool_k.shape[1:]
     k = jnp.take(pool_k, tables, axis=0)                       # [B, M, KV, bs, D]
     v = jnp.take(pool_v, tables, axis=0)
+    ks = vs = None
     if pool_ks is not None:
         ks = jnp.take(pool_ks, tables, axis=0)                 # [B, M, KV, bs]
         vs = jnp.take(pool_vs, tables, axis=0)
-        k = k.astype(jnp.bfloat16) * ks[..., None].astype(jnp.bfloat16)
-        v = v.astype(jnp.bfloat16) * vs[..., None].astype(jnp.bfloat16)
-    k = k.transpose(0, 2, 1, 3, 4).reshape(B, KV, M * bs, D)
-    v = v.transpose(0, 2, 1, 3, 4).reshape(B, KV, M * bs, D)
-    t = lax.broadcasted_iota(jnp.int32, (B, 1, M * bs), 2)
-    mask = jnp.where(t <= positions[:, None, None], 0.0, -jnp.inf).astype(jnp.float32)
-    return gqa_attention(q, k, v, mask)
+    return _dense_from_gathered(q, k, v, positions, ks, vs)
+
+
+def _gather_stacked(buf, li, tables):
+    """Gather per-row blocks of layer ``li`` straight out of a STACKED pool
+    [L, n_blocks, ...] with ONE fused gather (flat indices li*n_blocks +
+    table) — slicing the layer first would make XLA materialize a full
+    per-layer pool copy inside the scan."""
+    L, nb = buf.shape[0], buf.shape[1]
+    flat = buf.reshape((L * nb,) + buf.shape[2:])
+    return jnp.take(flat, li * nb + tables, axis=0)
 
 
 def paged_prefill_shared(
@@ -300,53 +317,85 @@ def paged_decode_step(
         tables, (positions // bs)[:, None], axis=1)[:, 0]      # [B]
     offsets = positions % bs
 
-    def block_fn(x, scanned):
+    def block_carried(carry, w):
+        """The WHOLE stacked pool rides the scan carry (in-place writes);
+        the earlier xs/ys formulation re-materialized every layer's full
+        pool into the stacked ys each step — the same full-buffer copy the
+        dense cache path shed in round 3 (docs/07)."""
         if quantized:
-            w, pk, pv, pks, pvs = scanned
+            x, pk_all, pv_all, pks_all, pvs_all, li = carry
         else:
-            w, pk, pv = scanned                                # pk/pv [n_blocks,KV,bs,D]
+            x, pk_all, pv_all, li = carry
         h = rms_norm(x, w["attn_norm"], cfg.norm_eps)
         q = linear(h, w["wq"]).reshape(B, 1, H, D)
         k = linear(h, w["wk"]).reshape(B, 1, KV, D)
         v = linear(h, w["wv"]).reshape(B, 1, KV, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+
+        def write_l(buf, rows):
+            # rows [B, KV, D] (values) or [B, KV] (scales) -> buf
+            # [L, n_blocks, KV, bs(, D)] at (li, blocks[b], 0, offsets[b]).
+            # UNROLLED over B (the slot count, static): a chain of plain
+            # dynamic_update_slices aliases the carried buffer in place,
+            # where a fori_loop would wrap the buffer in a nested while
+            # carry the outer aliasing analysis can lose.
+            vec = rows.ndim == 3
+            for b in range(B):
+                upd = (rows[b][None, None, :, None, :] if vec
+                       else rows[b][None, None, :, None])
+                start = (li, blocks[b], 0, offsets[b]) + ((0,) if vec else ())
+                buf = lax.dynamic_update_slice(buf, upd.astype(buf.dtype),
+                                               start)
+            return buf
+
         if quantized:
             kq, ks = quantize_kv_rows(k[:, 0])                 # [B,KV,D], [B,KV]
             vq, vs = quantize_kv_rows(v[:, 0])
-            pk = _write_rows(pk, kq, blocks, offsets)
-            pv = _write_rows(pv, vq, blocks, offsets)
-            pks = _write_rows(pks, ks, blocks, offsets)
-            pvs = _write_rows(pvs, vs, blocks, offsets)
-            att = _gathered_attention(q, pk, pv, tables, positions, pks, pvs)
-            carry = (pk, pv, pks, pvs)
+            pk_all = write_l(pk_all, kq)
+            pv_all = write_l(pv_all, vq)
+            pks_all = write_l(pks_all, ks)
+            pvs_all = write_l(pvs_all, vs)
+            att = _dense_from_gathered(
+                q, _gather_stacked(pk_all, li, tables),
+                _gather_stacked(pv_all, li, tables), positions,
+                _gather_stacked(pks_all, li, tables),
+                _gather_stacked(pvs_all, li, tables))
+            out_carry = (pk_all, pv_all, pks_all, pvs_all)
         else:
-            pk = _write_rows(pk, k[:, 0], blocks, offsets)
-            pv = _write_rows(pv, v[:, 0], blocks, offsets)
+            pk_all = write_l(pk_all, k[:, 0])
+            pv_all = write_l(pv_all, v[:, 0])
             if attn_impl == "pallas":
                 from llama_nuts_and_bolts_tpu.kernels.paged_attention import (
                     paged_flash_decode,
                 )
 
-                att = paged_flash_decode(q, pk, pv, tables, positions)
+                # stacked-pool mode: the kernel picks the layer via a
+                # prefetch scalar — no per-step layer-slice materialization
+                att = paged_flash_decode(q, pk_all, pv_all, tables,
+                                         positions, layer=li)
             else:
-                att = _gathered_attention(q, pk, pv, tables, positions)
-            carry = (pk, pv)
+                att = _dense_from_gathered(
+                    q, _gather_stacked(pk_all, li, tables),
+                    _gather_stacked(pv_all, li, tables), positions)
+            out_carry = (pk_all, pv_all)
         x = x + linear(att.reshape(B, 1, H * D), w["wo"])
         h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
         x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
-        return x, carry
+        return (x,) + out_carry + (li + 1,), None
 
     if quantized:
         if attn_impl == "pallas":
             raise ValueError("the paged Pallas kernel is bf16-only; int8 "
                              "pools use the XLA gather path")
-        xs = (params.layers, pool.k, pool.v, pool.k_scale, pool.v_scale)
-        x, (pk_new, pv_new, pks_new, pvs_new) = lax.scan(block_fn, x, xs)
+        init = (x, pool.k, pool.v, pool.k_scale, pool.v_scale, jnp.int32(0))
+        (x, pk_new, pv_new, pks_new, pvs_new, _), _ = lax.scan(
+            block_carried, init, params.layers)
         new_pool = PagedKVPool(k=pk_new, v=pv_new,
                                k_scale=pks_new, v_scale=pvs_new)
     else:
-        x, (pk_new, pv_new) = lax.scan(block_fn, x, (params.layers, pool.k, pool.v))
+        (x, pk_new, pv_new, _), _ = lax.scan(
+            block_carried, (x, pool.k, pool.v, jnp.int32(0)), params.layers)
         new_pool = PagedKVPool(k=pk_new, v=pv_new)
     x = rms_norm(x, params.norm, cfg.norm_eps)
     logits = linear(x[:, 0], params.output, out_dtype=jnp.float32)  # [B, vocab]

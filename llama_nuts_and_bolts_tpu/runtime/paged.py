@@ -143,20 +143,25 @@ class PagedBatcher(ContinuousBatcher):
         self.n_slots = n_slots
         self.seq_len = engine.seq_len
         self.speculate_k = 0     # speculation is a dense-batcher feature
+        kv_is_int8 = (getattr(engine.args, "kv_cache_dtype", "bf16")
+                      == "int8")
         if attn_impl is None:
-            # measured on v5e (docs/04-KERNELS.md): at serving shapes the
-            # XLA gather path runs within ~5% of a dense cache, while the
-            # block-table Pallas kernel loses ~25% to per-program overhead
-            # (grid batch x kv x blocks is thousands of tiny programs per
-            # step) — so XLA is the default and "pallas" is explicit opt-in
-            attn_impl = "xla"
+            # measured on v5e (docs/04-KERNELS.md, round-4 update): with
+            # the folded-heads multi-block kernel reading the carried
+            # stacked pool directly (layer prefetch, unrolled in-place
+            # writes), the Pallas path beats the XLA gather at serving
+            # shapes (186 vs 177 total tok/s, 24L x 4 slots x 2K) — it is
+            # now the bf16 default; int8 pools stay on the gather path
+            # (the kernel is bf16-only). On CPU the kernel would run in
+            # interpret mode — keep the gather there.
+            on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+            attn_impl = "pallas" if (on_tpu and not kv_is_int8) else "xla"
         self.attn_impl = attn_impl
         self.block_size = block_size
         self.max_blocks = math.ceil(self.seq_len / block_size)
         if n_blocks is None:
             n_blocks = 1 + n_slots * self.max_blocks
-        kv_dtype = (jnp.int8 if getattr(engine.args, "kv_cache_dtype", "bf16")
-                    == "int8" else jnp.bfloat16)
+        kv_dtype = jnp.int8 if kv_is_int8 else jnp.bfloat16
         if kv_dtype == jnp.int8 and attn_impl == "pallas":
             raise ValueError("the paged Pallas kernel is bf16-only; int8 "
                              "pools use the XLA gather path")
