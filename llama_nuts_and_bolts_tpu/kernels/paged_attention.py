@@ -82,7 +82,8 @@ def _paged_kernel(tbl_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
 
 def _paged_kernel_heads(tbl_ref, pos_ref, layer_ref, *refs,
                         bs: int, kv_heads: int, groups: int,
-                        head_dim: int, scale: float, grid_m: int, chunk: int):
+                        head_dim: int, scale: float, grid_m: int, chunk: int,
+                        quantized: bool):
     """Folded-heads, multi-block paged kernel: grid (batch, block_group).
 
     One program serves ALL KV heads for a GROUP of ``chunk`` consecutive
@@ -99,8 +100,13 @@ def _paged_kernel_heads(tbl_ref, pos_ref, layer_ref, *refs,
     q_ref = refs[0]
     k_refs = refs[1:1 + chunk]
     v_refs = refs[1 + chunk:1 + 2 * chunk]
-    o_ref = refs[1 + 2 * chunk]
-    acc_ref, m_ref, l_ref = refs[2 + 2 * chunk:]
+    n = 1 + 2 * chunk
+    if quantized:
+        ks_refs = refs[n:n + chunk]
+        vs_refs = refs[n + chunk:n + 2 * chunk]
+        n += 2 * chunk
+    o_ref = refs[n]
+    acc_ref, m_ref, l_ref = refs[n + 1:]
     del layer_ref  # consumed by the index maps only
     b = pl.program_id(0)
     m = pl.program_id(1)
@@ -120,6 +126,55 @@ def _paged_kernel_heads(tbl_ref, pos_ref, layer_ref, *refs,
         span = chunk * bs
         t_pos = m * span + lax.broadcasted_iota(jnp.int32, (groups, span), 1)
         vis = t_pos <= pos
+        if quantized:
+            # int8xint8 MXU path (kernels/decode_attention.py): q quantized
+            # per row; per-position scales fold into the SMALL score/prob
+            # matrices — tiles stay int8 throughout. Scale vectors cannot
+            # concatenate across pieces (Mosaic: lane concat of 64-wide
+            # vectors), so the online softmax updates per (head, piece).
+            for h in range(kv_heads):
+                q = q_ref[0, 0, h]                            # [G, D] bf16
+                qf = q.astype(jnp.float32)
+                qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True),
+                                 1e-8) / 127.0                # [G, 1]
+                q_i = jnp.clip(jnp.round(qf / qs), -127,
+                               127).astype(jnp.int8)
+                sl = slice(h * groups, (h + 1) * groups)
+                for j in range(chunk):
+                    t0 = (m * chunk + j) * bs
+                    t_pos = t0 + lax.broadcasted_iota(
+                        jnp.int32, (groups, bs), 1)
+                    k_tile = k_refs[j][0, h]                  # [bs, D] int8
+                    v_tile = v_refs[j][0, h]
+                    ks_row = ks_refs[j][0, h].astype(jnp.float32)   # [bs]
+                    vs_row = vs_refs[j][0, h].astype(jnp.float32)
+                    s32 = lax.dot_general(
+                        q_i, k_tile, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)     # [G, bs]
+                    s = s32.astype(jnp.float32) * (qs * scale)
+                    s = s * ks_row[None, :]
+                    s = jnp.where(t_pos <= pos, s, NEG_INF)
+                    m_prev = m_ref[sl, :]
+                    m_new = jnp.maximum(m_prev,
+                                        jnp.max(s, axis=1, keepdims=True))
+                    p = jnp.exp(s - m_new)
+                    corr = jnp.exp(m_prev - m_new)
+                    l_ref[sl, :] = l_ref[sl, :] * corr + jnp.sum(
+                        p, axis=1, keepdims=True)
+                    pf = p * vs_row[None, :]
+                    ps = jnp.maximum(
+                        jnp.max(jnp.abs(pf), axis=1, keepdims=True),
+                        1e-30) / 127.0                        # [G, 1]
+                    p_i = jnp.clip(jnp.round(pf / ps), -127,
+                                   127).astype(jnp.int8)
+                    pv32 = lax.dot_general(
+                        p_i, v_tile, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)     # [G, D]
+                    acc_ref[sl, :] = (acc_ref[sl, :] * corr
+                                      + pv32.astype(jnp.float32) * ps)
+                    m_ref[sl, :] = m_new
+            return
+
         for h in range(kv_heads):          # static unroll: resident blocks
             q = q_ref[0, 0, h]                                # [G, D] bf16
             k_tile = jnp.concatenate([kr[0, h] for kr in k_refs], axis=0)
@@ -152,7 +207,7 @@ def _paged_kernel_heads(tbl_ref, pos_ref, layer_ref, *refs,
 
 def paged_flash_decode(
     q: jnp.ndarray,          # [B, 1, H, D]
-    pool_k: jnp.ndarray,     # [n_blocks, KV, bs, D] bf16
+    pool_k: jnp.ndarray,     # [n_blocks, KV, bs, D] bf16 or int8
     pool_v: jnp.ndarray,
     tables: jnp.ndarray,     # int32 [B, M]
     positions: jnp.ndarray,  # int32 [B]
@@ -160,6 +215,8 @@ def paged_flash_decode(
     interpret: bool | None = None,
     fold_heads: bool = True,
     layer=None,              # traced int32: pools are the WHOLE [L, ...] stack
+    pool_ks=None,            # bf16 [n_blocks, KV, bs] when pools are int8
+    pool_vs=None,
 ) -> jnp.ndarray:
     """Returns [B, 1, H, D] in q.dtype; row b attends pool slots holding its
     positions <= positions[b] (including the just-written row).
@@ -168,17 +225,24 @@ def paged_flash_decode(
     the paged batcher's "pallas" path is testable on the CPU mesh).
     ``layer`` (with stacked [L, n_blocks, KV, bs, D] pools) lets the
     per-layer scan feed the whole carried pool without a per-step slice
-    materialization; requires fold_heads."""
+    materialization; requires fold_heads. int8 pools (``pool_ks/pool_vs``
+    scale pools given) run the int8xint8-MXU path — tiles stay int8 into
+    the MXU, scales fold into the small score/prob matrices."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     B, S, H, D = q.shape
     if S != 1:
         raise ValueError("paged_flash_decode is the S=1 kernel")
+    quantized = pool_ks is not None
     if layer is None:
         pool_k, pool_v = pool_k[None], pool_v[None]
+        if quantized:
+            pool_ks, pool_vs = pool_ks[None], pool_vs[None]
         layer = 0
     elif not fold_heads:
         raise ValueError("stacked-pool layer mode requires fold_heads=True")
+    if quantized and not fold_heads:
+        raise ValueError("int8 pools require the fold_heads kernel")
     L, n_blocks, KV, bs, _ = pool_k.shape
     M = tables.shape[1]
     G = H // KV
@@ -195,21 +259,34 @@ def paged_flash_decode(
         # the contiguous stack) and index blocks flat: li*n_blocks + table
         pool_k = pool_k.reshape((L * n_blocks,) + pool_k.shape[2:])
         pool_v = pool_v.reshape((L * n_blocks,) + pool_v.shape[2:])
+        if quantized:
+            # scales stay [L*nb, KV, bs]: the (1, KV, bs) block's last
+            # two dims EQUAL the array dims, which the tiling rules allow
+            pool_ks = pool_ks.reshape((L * n_blocks,) + pool_ks.shape[2:])
+            pool_vs = pool_vs.reshape((L * n_blocks,) + pool_vs.shape[2:])
         # blocks per grid step: enough that each step's dots are >=512 deep
         chunk = max(1, min(M, 512 // bs))
         while M % chunk:
             chunk -= 1
         grid_m = M // chunk
 
-        def mk_index(j):
+        def mk_index(j, rank4=True):
             def k_index_h(b, m, tbl, pos, li):
                 mm = jnp.minimum(m * chunk + j, pos[b] // bs)
-                return (li[0] * n_blocks + tbl[b, mm], 0, 0, 0)
+                flat = li[0] * n_blocks + tbl[b, mm]
+                return (flat, 0, 0, 0) if rank4 else (flat, 0, 0)
             return k_index_h
 
         kernel = functools.partial(
             _paged_kernel_heads, bs=bs, kv_heads=KV, groups=G, head_dim=D,
-            scale=scale, grid_m=grid_m, chunk=chunk)
+            scale=scale, grid_m=grid_m, chunk=chunk, quantized=quantized)
+        kv_specs = [pl.BlockSpec((1, KV, bs, D), mk_index(j))
+                    for j in range(chunk)]
+        scale_specs = ([pl.BlockSpec((1, KV, bs), mk_index(j, rank4=False))
+                        for j in range(chunk)] if quantized else [])
+        operands = ([pool_k] * chunk + [pool_v] * chunk
+                    + ([pool_ks] * chunk + [pool_vs] * chunk
+                       if quantized else []))
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -218,10 +295,7 @@ def paged_flash_decode(
                 in_specs=[
                     pl.BlockSpec((1, 1, KV, G, D),
                                  lambda b, m, tbl, pos, li: (b, 0, 0, 0, 0)),
-                    *[pl.BlockSpec((1, KV, bs, D), mk_index(j))
-                      for j in range(chunk)],
-                    *[pl.BlockSpec((1, KV, bs, D), mk_index(j))
-                      for j in range(chunk)],
+                    *kv_specs, *kv_specs, *scale_specs, *scale_specs,
                 ],
                 out_specs=pl.BlockSpec(
                     (1, 1, KV, G, D),
@@ -236,8 +310,7 @@ def paged_flash_decode(
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
             interpret=interpret,
-        )(tables, positions, layer_arr, qg,
-          *([pool_k] * chunk), *([pool_v] * chunk))
+        )(tables, positions, layer_arr, qg, *operands)
         return out.reshape(B, 1, H, D)
 
     pool_k, pool_v = pool_k[0], pool_v[0]

@@ -356,11 +356,21 @@ def paged_decode_step(
             pv_all = write_l(pv_all, vq)
             pks_all = write_l(pks_all, ks)
             pvs_all = write_l(pvs_all, vs)
-            att = _dense_from_gathered(
-                q, _gather_stacked(pk_all, li, tables),
-                _gather_stacked(pv_all, li, tables), positions,
-                _gather_stacked(pks_all, li, tables),
-                _gather_stacked(pvs_all, li, tables))
+            if attn_impl == "pallas":
+                from llama_nuts_and_bolts_tpu.kernels.paged_attention import (
+                    paged_flash_decode,
+                )
+
+                # int8xint8-MXU path: pool tiles stay int8 into the MXU
+                att = paged_flash_decode(q, pk_all, pv_all, tables,
+                                         positions, layer=li,
+                                         pool_ks=pks_all, pool_vs=pvs_all)
+            else:
+                att = _dense_from_gathered(
+                    q, _gather_stacked(pk_all, li, tables),
+                    _gather_stacked(pv_all, li, tables), positions,
+                    _gather_stacked(pks_all, li, tables),
+                    _gather_stacked(pvs_all, li, tables))
             out_carry = (pk_all, pv_all, pks_all, pvs_all)
         else:
             pk_all = write_l(pk_all, k[:, 0])
@@ -385,9 +395,6 @@ def paged_decode_step(
         return (x,) + out_carry + (li + 1,), None
 
     if quantized:
-        if attn_impl == "pallas":
-            raise ValueError("the paged Pallas kernel is bf16-only; int8 "
-                             "pools use the XLA gather path")
         init = (x, pool.k, pool.v, pool.k_scale, pool.v_scale, jnp.int32(0))
         (x, pk_new, pv_new, pks_new, pvs_new, _), _ = lax.scan(
             block_carried, init, params.layers)

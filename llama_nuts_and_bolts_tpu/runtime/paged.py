@@ -151,9 +151,10 @@ class PagedBatcher(ContinuousBatcher):
             # stacked pool directly (layer prefetch, unrolled in-place
             # writes), the Pallas path beats the XLA gather at serving
             # shapes (186 vs 177 total tok/s, 24L x 4 slots x 2K) — it is
-            # now the bf16 default; int8 pools stay on the gather path
-            # (the kernel is bf16-only). On CPU the kernel would run in
-            # interpret mode — keep the gather there.
+            # now the bf16 default; int8 pools have an int8x int8-MXU
+            # kernel variant, selectable with attn_impl="pallas" (default
+            # stays gather pending a measured win). On CPU the kernel
+            # would run in interpret mode — keep the gather there.
             on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
             attn_impl = "pallas" if (on_tpu and not kv_is_int8) else "xla"
         self.attn_impl = attn_impl
@@ -162,9 +163,6 @@ class PagedBatcher(ContinuousBatcher):
         if n_blocks is None:
             n_blocks = 1 + n_slots * self.max_blocks
         kv_dtype = jnp.int8 if kv_is_int8 else jnp.bfloat16
-        if kv_dtype == jnp.int8 and attn_impl == "pallas":
-            raise ValueError("the paged Pallas kernel is bf16-only; int8 "
-                             "pools use the XLA gather path")
         self.pool = PagedKVPool.create(self.cfg, n_blocks, block_size,
                                        dtype=kv_dtype)
         if getattr(engine, "mesh", None) is not None:

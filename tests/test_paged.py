@@ -291,7 +291,55 @@ def test_paged_batcher_int8_end_to_end():
         assert [t for _, t in drain(r)] == [t for _, t in drain(ref)]
 
 
-def test_paged_pallas_rejected_for_int8():
+def test_paged_pallas_int8_pool_matches_gather():
+    """int8 pool through the paged Pallas kernel (int8xint8-MXU path,
+    interpret mode) must agree with the gather-dequant oracle within the
+    pool's own quantization noise."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from llama_nuts_and_bolts_tpu.kernels.paged_attention import (
+        paged_flash_decode,
+    )
+    from llama_nuts_and_bolts_tpu.models.llama.paged import (
+        _gathered_attention,
+    )
+
+    B, H, KV, D, bs, nb, M = 2, 8, 2, 128, 8, 7, 3
+    ks_ = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks_[0], (B, 1, H, D), jnp.float32).astype(jnp.bfloat16)
+    kf = np.asarray(jax.random.normal(ks_[1], (nb, KV, bs, D), jnp.float32))
+    vf = np.asarray(jax.random.normal(ks_[2], (nb, KV, bs, D), jnp.float32))
+    s_k = np.abs(kf).max(-1).clip(1e-8) / 127.0
+    s_v = np.abs(vf).max(-1).clip(1e-8) / 127.0
+    k8 = jnp.asarray(np.clip(np.rint(kf / s_k[..., None]), -127, 127), jnp.int8)
+    v8 = jnp.asarray(np.clip(np.rint(vf / s_v[..., None]), -127, 127), jnp.int8)
+    ksc = jnp.asarray(s_k, jnp.bfloat16)
+    vsc = jnp.asarray(s_v, jnp.bfloat16)
+    tables = jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    positions = jnp.asarray([13, 21], jnp.int32)
+
+    ref = np.asarray(_gathered_attention(q, k8, v8, tables, positions,
+                                         ksc, vsc), np.float32)
+    got = np.asarray(paged_flash_decode(q, k8, v8, tables, positions,
+                                        interpret=True, pool_ks=ksc,
+                                        pool_vs=vsc), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-2)
+
+
+def test_paged_batcher_int8_pallas_e2e():
+    """--paged + int8 KV + pallas impl end to end on the CPU mesh."""
     eng = make_engine(sequence_length=24, kv_cache_dtype="int8")
-    with pytest.raises(ValueError, match="bf16-only"):
-        PagedBatcher(eng, n_slots=1, block_size=BS, attn_impl="pallas")
+    b = PagedBatcher(eng, n_slots=2, block_size=BS, attn_impl="pallas")
+    reqs = [b.submit([3, 1, 4], max_new_tokens=5),
+            b.submit([2, 7], max_new_tokens=5)]
+    b.run_until_idle()
+    ref_eng = make_engine(sequence_length=24, kv_cache_dtype="int8")
+    rb = PagedBatcher(ref_eng, n_slots=2, block_size=BS, attn_impl="xla")
+    ref_reqs = [rb.submit([3, 1, 4], max_new_tokens=5),
+                rb.submit([2, 7], max_new_tokens=5)]
+    rb.run_until_idle()
+    for r, rr in zip(reqs, ref_reqs):
+        assert list(r.tokens(timeout=5)) == list(rr.tokens(timeout=5))
