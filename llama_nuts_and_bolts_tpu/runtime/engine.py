@@ -176,6 +176,13 @@ class InferenceEngine:
             return self.args.attn_impl
         if seq_len > 1 and on_tpu and aligned:
             return "flash"
+        if (seq_len == 1 and on_tpu and aligned
+                and (cache_len or self.seq_len) >= 4096):
+            # long-context bf16 decode: the stacked-cache flash kernel with
+            # 2048-deep tiles now edges XLA (59.1 vs 58.9 tok/s at 8K/24L;
+            # 12.22 vs 12.28 ms at 8K/16L — round-4 measurements, docs/07);
+            # short buffers stay XLA, where the kernel's fixed cost loses
+            return "flash"
         return "xla"
 
     def autotune_attn_impl(self, iters: int = 5,
