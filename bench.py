@@ -79,7 +79,13 @@ def _merge(results: dict, snap: dict) -> None:
     if not snap:
         return
     detail = results.setdefault("detail", {})
-    detail.update(snap.get("detail", {}))
+    snap_detail = snap.get("detail", {})
+    if "first_rpc_s" in snap_detail:
+        # this stage reached the device: stale outage markers from an
+        # earlier killed stage no longer describe the run
+        detail.pop("outage", None)
+        detail.pop("first_rpc_wait_s", None)
+    detail.update(snap_detail)
     for k in ("metric", "value", "vs_baseline"):
         if snap.get(k) is not None:
             results[k] = snap[k]
@@ -182,8 +188,8 @@ def parent_main() -> None:
     _run_stage("main", min(400.0, left() - 40), results,
                hard_cap_s=left() - 5)
     detail = results.setdefault("detail", {})
-    if (results.get("value") is None and "device" in detail
-            and left() > 360):
+    if (results.get("value") is None and not detail.get("outage")
+            and "device" in detail and left() > 360):
         # reached the device but died without a headline (observed cause:
         # transient RESOURCE_EXHAUSTED while another client's buffers are
         # still being reclaimed). With real budget left, a cooled-down
@@ -194,7 +200,10 @@ def parent_main() -> None:
         time.sleep(cooldown)
         _run_stage("main", min(400.0, left() - 40), results,
                    hard_cap_s=left() - 5)
-    if results.get("value") is None and "device" not in detail:
+    # outage classification keys on the WATCHER's marker from the most
+    # recent stage (an earlier stage's 'device' key must not mask a retry
+    # that died pre-RPC; _merge clears stale markers on device success)
+    if results.get("value") is None and detail.get("outage"):
         # killed while still waiting on its first device RPC: that is a
         # TUNNEL OUTAGE, not a framework regression — record it as such and
         # skip the fallback stages (a fresh process would re-enter the same
@@ -309,12 +318,16 @@ def _stage_setup(w: StageWriter):
             w.section("outage", True)
             w.mark(f"still waiting on first device RPC ({waited:.0f}s)")
 
-    threading.Thread(target=outage_watch, daemon=True).start()
+    watcher = threading.Thread(target=outage_watch, daemon=True)
+    watcher.start()
     try:
         # a real round-trip, not just backend init: 1-element compute + fetch
         np.asarray((jnp.zeros((), jnp.int32) + 1))
     finally:
         probe_done.set()
+    # join BEFORE dropping: a watcher mid-body could otherwise re-write the
+    # outage keys after the drop, branding a healthy run as an outage
+    watcher.join(timeout=20.0)
     w.drop_section("first_rpc_wait_s")
     w.drop_section("outage")
     w.section("first_rpc_s", round(time.perf_counter() - t0, 1))

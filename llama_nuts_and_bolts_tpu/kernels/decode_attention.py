@@ -30,6 +30,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from llama_nuts_and_bolts_tpu.kernels.quant_attn_math import (
+    int8_pv,
+    int8_scores,
+    quantize_q_rows,
+)
+
 NEG_INF = -1e30
 
 
@@ -151,15 +157,9 @@ def _decode_kernel_blocked_heads(start_pos_ref, layer_ref, q_ref, k_ref,
             kt = k_ref[0, 0, h]
             vt = v_ref[0, 0, h]
             if quantized and int8_mxu:
-                qf = q.astype(jnp.float32)
-                qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True),
-                                 1e-8) / 127.0            # [G, 1]
-                q_i = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
-                s32 = lax.dot_general(
-                    q_i, kt, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)     # [G, block_k]
+                q_i, qs = quantize_q_rows(q)
                 ks_row = ks_ref[0, 0, h, 0].astype(jnp.float32)  # [block_k]
-                s = s32.astype(jnp.float32) * (qs * scale) * ks_row[None, :]
+                s = int8_scores(q_i, qs, kt, ks_row, scale)
             else:
                 if quantized:
                     sk = ks_ref[0, 0, h, 0].astype(jnp.float32)
@@ -182,15 +182,7 @@ def _decode_kernel_blocked_heads(start_pos_ref, layer_ref, q_ref, k_ref,
                                                          keepdims=True)
             if quantized and int8_mxu:
                 vs_row = vs_ref[0, 0, h, 0].astype(jnp.float32)  # [block_k]
-                pf = p * vs_row[None, :]                  # scales fold into p
-                ps = jnp.maximum(
-                    jnp.max(jnp.abs(pf), axis=1, keepdims=True),
-                    1e-30) / 127.0                        # [G, 1]
-                p_i = jnp.clip(jnp.round(pf / ps), -127, 127).astype(jnp.int8)
-                pv32 = lax.dot_general(
-                    p_i, vt, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)     # [G, D]
-                pv = pv32.astype(jnp.float32) * ps
+                pv = int8_pv(p, vt, vs_row)
             else:
                 pv = lax.dot_general(
                     p.astype(vt.dtype), vt, (((1,), (0,)), ((), ())),

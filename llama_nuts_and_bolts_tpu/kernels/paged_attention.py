@@ -32,6 +32,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from llama_nuts_and_bolts_tpu.kernels.quant_attn_math import (
+    int8_pv,
+    int8_scores,
+    quantize_q_rows,
+)
+
 NEG_INF = -1e30
 
 
@@ -134,11 +140,7 @@ def _paged_kernel_heads(tbl_ref, pos_ref, layer_ref, *refs,
             # vectors), so the online softmax updates per (head, piece).
             for h in range(kv_heads):
                 q = q_ref[0, 0, h]                            # [G, D] bf16
-                qf = q.astype(jnp.float32)
-                qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True),
-                                 1e-8) / 127.0                # [G, 1]
-                q_i = jnp.clip(jnp.round(qf / qs), -127,
-                               127).astype(jnp.int8)
+                q_i, qs = quantize_q_rows(q)
                 sl = slice(h * groups, (h + 1) * groups)
                 for j in range(chunk):
                     t0 = (m * chunk + j) * bs
@@ -148,11 +150,7 @@ def _paged_kernel_heads(tbl_ref, pos_ref, layer_ref, *refs,
                     v_tile = v_refs[j][0, h]
                     ks_row = ks_refs[j][0, h].astype(jnp.float32)   # [bs]
                     vs_row = vs_refs[j][0, h].astype(jnp.float32)
-                    s32 = lax.dot_general(
-                        q_i, k_tile, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32)     # [G, bs]
-                    s = s32.astype(jnp.float32) * (qs * scale)
-                    s = s * ks_row[None, :]
+                    s = int8_scores(q_i, qs, k_tile, ks_row, scale)
                     s = jnp.where(t_pos <= pos, s, NEG_INF)
                     m_prev = m_ref[sl, :]
                     m_new = jnp.maximum(m_prev,
@@ -161,17 +159,8 @@ def _paged_kernel_heads(tbl_ref, pos_ref, layer_ref, *refs,
                     corr = jnp.exp(m_prev - m_new)
                     l_ref[sl, :] = l_ref[sl, :] * corr + jnp.sum(
                         p, axis=1, keepdims=True)
-                    pf = p * vs_row[None, :]
-                    ps = jnp.maximum(
-                        jnp.max(jnp.abs(pf), axis=1, keepdims=True),
-                        1e-30) / 127.0                        # [G, 1]
-                    p_i = jnp.clip(jnp.round(pf / ps), -127,
-                                   127).astype(jnp.int8)
-                    pv32 = lax.dot_general(
-                        p_i, v_tile, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)     # [G, D]
                     acc_ref[sl, :] = (acc_ref[sl, :] * corr
-                                      + pv32.astype(jnp.float32) * ps)
+                                      + int8_pv(p, v_tile, vs_row))
                     m_ref[sl, :] = m_new
             return
 

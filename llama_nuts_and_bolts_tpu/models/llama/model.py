@@ -199,6 +199,12 @@ def forward(
             # smaller tiles (its VMEM also holds q/o blocks).
             sizes = (2048, 1024, 512, 256, 128) if S == 1 else (512, 256, 128)
             block_k = next((b for b in sizes if T % b == 0), T)
+            if S == 1 and block_k == T and T > 2048:
+                # no block size divides this buffer: one whole-buffer tile
+                # would blow VMEM past ~8K and defeat the tiling either way
+                raise ValueError(
+                    f"flash decode needs a cache length divisible by 128 "
+                    f"(got {T}); use attn_impl='xla' or a padded buffer")
             if mesh is not None:
                 # GSPMD cannot partition pallas_call: on a tp mesh the kernel
                 # runs head-local inside shard_map (parallel/kernel_shard.py)

@@ -183,11 +183,22 @@ class ContinuousBatcher:
         else:
             self.cache = engine.new_cache(n_slots)
         self.slots: List[Optional[Request]] = [None] * n_slots
-        # decode attention impl: the engine's selection logic (probe or
-        # rules) — on TPU with an int8 cache this picks the flash decode
-        # kernel, whose (batch, kv_head) grid takes the per-row position
-        # vector as prefetch scalars
-        self._decode_impl = engine._attn_impl(1)
+        # decode attention impl: the engine's measured RULES — on TPU with
+        # an int8 cache this picks the flash decode kernel, whose grid
+        # takes the per-row position vector as prefetch scalars. The
+        # engine's "probe" mode is bypassed here: its micro-benchmark runs
+        # at batch 1 with a scalar position, and that winner does not
+        # transfer to this batcher's [n_slots]-row per-row step (per-tile
+        # fixed costs scale with the batch — docs/07 round-4 section).
+        if engine.args.attn_impl == "probe":
+            saved = engine.args.attn_impl
+            engine.args.attn_impl = "auto"
+            try:
+                self._decode_impl = engine._attn_impl(1)
+            finally:
+                engine.args.attn_impl = saved
+        else:
+            self._decode_impl = engine._attn_impl(1)
         # per-slot feed token and position of that token (= next write pos)
         self._feed = np.zeros(n_slots, dtype=np.int32)
         self._pos = np.zeros(n_slots, dtype=np.int32)

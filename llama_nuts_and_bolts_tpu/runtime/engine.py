@@ -170,18 +170,28 @@ class InferenceEngine:
             if bucket not in self._probed_decode_impl:
                 self.autotune_attn_impl(cache_len=bucket)
             return self._probed_decode_impl[bucket]
+        if self.args.attn_impl not in ("auto", "probe"):
+            forced = self.args.attn_impl
+            if (self.args.kv_cache_dtype == "int8" and forced == "flash"
+                    and seq_len > 1):
+                # int8 + flash is decode-only (forward rejects S>1); honor
+                # the forced impl where it can run, fall back for prefill
+                return "xla"
+            return forced
         if self.args.kv_cache_dtype == "int8":
             return "flash" if (seq_len == 1 and on_tpu and aligned) else "xla"
-        if self.args.attn_impl not in ("auto", "probe"):
-            return self.args.attn_impl
         if seq_len > 1 and on_tpu and aligned:
             return "flash"
+        bucket = cache_len or self.seq_len
         if (seq_len == 1 and on_tpu and aligned
-                and (cache_len or self.seq_len) >= 4096):
+                and bucket >= 4096 and bucket % 2048 == 0):
             # long-context bf16 decode: the stacked-cache flash kernel with
             # 2048-deep tiles now edges XLA (59.1 vs 58.9 tok/s at 8K/24L;
             # 12.22 vs 12.28 ms at 8K/16L — round-4 measurements, docs/07);
-            # short buffers stay XLA, where the kernel's fixed cost loses
+            # short buffers stay XLA, where the kernel's fixed cost loses.
+            # The divisibility gate keeps the kernel on its measured tile
+            # size — a buffer no block size divides would degenerate to
+            # one whole-buffer tile (VMEM blow-up past ~8K).
             return "flash"
         return "xla"
 
@@ -255,9 +265,10 @@ class InferenceEngine:
     # ------------------------------------------------------- prefix caching
 
     MAX_CACHED_PREFIXES = 4
-    # decode-chunk executables kept (FIFO): greedy needs 1 per chunk size;
-    # sampled adds one per distinct (top_k, top_p)
-    MAX_CHUNK_EXECUTABLES = 8
+    # decode-chunk executables kept (LRU, sampled evicted first): greedy
+    # needs one per (chunk size, cache bucket) — up to ~log2(context/256)
+    # buckets — and sampled adds one per distinct (top_k, top_p)
+    MAX_CHUNK_EXECUTABLES = 16
 
     def cache_prefix(self, prefix_tokens: Sequence[int]) -> None:
         """Prefill ``prefix_tokens`` once and snapshot the KV state: any later
@@ -383,9 +394,15 @@ class InferenceEngine:
             return self._chunk_fns[cache_key]
         # sampled keys carry client-controlled top_k/top_p: bound the
         # executable cache so a client cycling values can't grow it (or
-        # trigger compile storms that retain every program) without limit
+        # trigger compile storms that retain every program) without limit.
+        # Evict SAMPLED entries first — greedy keys are bounded (one per
+        # cache bucket, ~log2(context/256) of them) and are the hot
+        # steady-state path; multi-second recompiles of those would be a
+        # client-triggerable latency cliff.
         while len(self._chunk_fns) >= self.MAX_CHUNK_EXECUTABLES:
-            self._chunk_fns.pop(next(iter(self._chunk_fns)))
+            victim = next((k for k in self._chunk_fns if "s" in k),
+                          next(iter(self._chunk_fns)))
+            self._chunk_fns.pop(victim)
         if cache_key not in self._chunk_fns:
             from jax import lax
 

@@ -154,9 +154,14 @@ class PagedBatcher(ContinuousBatcher):
             # now the bf16 default; int8 pools have an int8x int8-MXU
             # kernel variant, selectable with attn_impl="pallas" (default
             # stays gather pending a measured win). On CPU the kernel
-            # would run in interpret mode — keep the gather there.
+            # would run in interpret mode — keep the gather there. Under a
+            # MESH the gather stays too: GSPMD can partition the gather
+            # path but not a pallas_call, and the paged kernel has no
+            # shard_map wrapper yet.
             on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-            attn_impl = "pallas" if (on_tpu and not kv_is_int8) else "xla"
+            attn_impl = ("pallas" if (on_tpu and not kv_is_int8
+                                      and getattr(engine, "mesh", None) is None)
+                         else "xla")
         self.attn_impl = attn_impl
         self.block_size = block_size
         self.max_blocks = math.ceil(self.seq_len / block_size)
