@@ -556,3 +556,36 @@ def test_sampled_rng_state_exact_after_mid_chunk_end():
     ref = two_requests(1)
     for k in (4, 8):
         assert two_requests(k) == ref, f"chunk={k}"
+
+
+def test_forced_attn_impl_honored_for_int8_decode():
+    """--attn-impl xla must actually disable the flash kernel for int8
+    decode (the int8 auto rule must not shadow a forced impl); int8 +
+    forced flash still falls back to xla for prefill, which the forward
+    pass would reject."""
+    eng = make_engine(sequence_length=24, kv_cache_dtype="int8",
+                      attn_impl="xla")
+    assert eng._attn_impl(1) == "xla"
+    eng2 = make_engine(sequence_length=24, kv_cache_dtype="int8",
+                       attn_impl="flash")
+    assert eng2._attn_impl(1) == "flash"
+    assert eng2._attn_impl(16) == "xla"   # prefill fallback
+
+
+def test_chunk_executable_eviction_prefers_sampled():
+    """Greedy chunk executables (one per cache bucket) must survive a
+    client cycling distinct sampled (top_k, top_p) keys: when the cache
+    is full, _decode_chunk evicts a SAMPLED entry, not the hot greedy."""
+    eng = make_engine(sequence_length=16, decode_chunk=4)
+    g_keys = [(4, 256 * (1 << i), "g") for i in range(4)]
+    for k in g_keys:
+        eng._chunk_fns[k] = f"greedy-{k[1]}"
+    for i in range(eng.MAX_CHUNK_EXECUTABLES - len(g_keys)):
+        eng._chunk_fns[(4, eng.seq_len, "s", i, 0.9)] = f"sampled-{i}"
+    assert len(eng._chunk_fns) == eng.MAX_CHUNK_EXECUTABLES
+    # the real path: a new sampled config must evict a sampled entry
+    eng.args.temperature = 0.7
+    eng.args.top_k = 999
+    eng._decode_chunk(4, sampled=True)
+    assert all(k in eng._chunk_fns for k in g_keys)
+    assert (4, eng.seq_len, "s", 999, 1.0) in eng._chunk_fns
