@@ -143,15 +143,20 @@ def _write_chunks(pool_layer: jnp.ndarray, rows: jnp.ndarray,
 
 def _dense_from_gathered(q, k, v, positions, ks=None, vs=None):
     """Dense GQA over per-row gathered blocks k/v [B, M, KV, bs, D]
-    (+ optional int8 scales [B, M, KV, bs])."""
+    (+ optional int8 scales [B, M, KV, bs]). ``q`` may carry S > 1 rows
+    (speculative verification): row s of batch b sees pool slots holding
+    positions ≤ positions[b] + s."""
     B, M, KV, bs, D = k.shape
+    S = q.shape[1]
     if ks is not None:
         k = k.astype(jnp.bfloat16) * ks[..., None].astype(jnp.bfloat16)
         v = v.astype(jnp.bfloat16) * vs[..., None].astype(jnp.bfloat16)
     k = k.transpose(0, 2, 1, 3, 4).reshape(B, KV, M * bs, D)
     v = v.transpose(0, 2, 1, 3, 4).reshape(B, KV, M * bs, D)
-    t = lax.broadcasted_iota(jnp.int32, (B, 1, M * bs), 2)
-    mask = jnp.where(t <= positions[:, None, None], 0.0, -jnp.inf).astype(jnp.float32)
+    t = lax.broadcasted_iota(jnp.int32, (B, S, M * bs), 2)
+    s_row = lax.broadcasted_iota(jnp.int32, (B, S, M * bs), 1)
+    mask = jnp.where(t <= positions[:, None, None] + s_row,
+                     0.0, -jnp.inf).astype(jnp.float32)
     return gqa_attention(q, k, v, mask)
 
 
@@ -406,6 +411,107 @@ def paged_decode_step(
         new_pool = PagedKVPool(k=pk_new, v=pv_new)
     x = rms_norm(x, params.norm, cfg.norm_eps)
     logits = linear(x[:, 0], params.output, out_dtype=jnp.float32)  # [B, vocab]
+    return logits, new_pool
+
+
+def paged_decode_step_spec(
+    params: LlamaParams,
+    cfg: ModelArgs,
+    tokens: jnp.ndarray,      # int32 [B, K+1]: per-row feed token + K drafts
+    positions: jnp.ndarray,   # int32 [B] — position of each row's FEED token
+    pool: PagedKVPool,
+    tables: jnp.ndarray,      # int32 [B, max_blocks]
+) -> Tuple[jnp.ndarray, PagedKVPool]:
+    """Speculative verification step over paged caches: row j of slot b
+    runs at position ``positions[b] + j``. Returns the greedy argmax of
+    EVERY row (``[B, K+1]`` — the verification chain) and the updated pool.
+
+    The scheduler must back positions ``pos .. pos+K`` with allocated
+    blocks for every ACTIVE slot before calling (it clamps the draft count
+    otherwise); free slots' tables point at the trash block. Rejected
+    rows' K/V writes land beyond the accepted point and are invisible
+    until overwritten — the identical staleness argument as the dense
+    batcher's ``_decode_step_spec``. Always the XLA gather path (the paged
+    Pallas kernel is S=1-shaped)."""
+    B, S = tokens.shape
+    H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+    bs = pool.block_size
+    quantized = pool.quantized
+    max_pos = tables.shape[1] * bs - 1
+
+    x = jnp.take(params.tok_embeddings, tokens, axis=0)        # [B, S, dim]
+    pos_rows = jnp.minimum(
+        positions[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :],
+        max_pos)                                               # [B, S]
+    cos = jnp.take(params.rope_cos, pos_rows, axis=0)          # [B, S, D/2]
+    sin = jnp.take(params.rope_sin, pos_rows, axis=0)
+    blocks_bj = jnp.take_along_axis(tables, pos_rows // bs, axis=1)  # [B, S]
+    offsets_bj = pos_rows % bs
+
+    def block_carried(carry, w):
+        if quantized:
+            x, pk_all, pv_all, pks_all, pvs_all, li = carry
+        else:
+            x, pk_all, pv_all, li = carry
+        h = rms_norm(x, w["attn_norm"], cfg.norm_eps)
+        q = linear(h, w["wq"]).reshape(B, S, H, D)
+        k = linear(h, w["wk"]).reshape(B, S, KV, D)
+        v = linear(h, w["wv"]).reshape(B, S, KV, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        def write_l(buf, rows):
+            # rows [B, S, KV(, D)] -> buf [L, n_blocks, KV, bs(, D)] at
+            # (li, blocks_bj[b, j], 0, offsets_bj[b, j]); unrolled B*S
+            # in-place updates (see paged_decode_step's write_l)
+            vec = rows.ndim == 4
+            for b in range(B):
+                for j in range(S):
+                    upd = (rows[b, j][None, None, :, None, :] if vec
+                           else rows[b, j][None, None, :, None])
+                    start = ((li, blocks_bj[b, j], 0, offsets_bj[b, j])
+                             + ((0,) if vec else ()))
+                    buf = lax.dynamic_update_slice(
+                        buf, upd.astype(buf.dtype), start)
+            return buf
+
+        if quantized:
+            kq, ks = quantize_kv_rows(k)                       # [B,S,KV,D]
+            vq, vs = quantize_kv_rows(v)
+            pk_all = write_l(pk_all, kq)
+            pv_all = write_l(pv_all, vq)
+            pks_all = write_l(pks_all, ks)
+            pvs_all = write_l(pvs_all, vs)
+            att = _dense_from_gathered(
+                q, _gather_stacked(pk_all, li, tables),
+                _gather_stacked(pv_all, li, tables), positions,
+                _gather_stacked(pks_all, li, tables),
+                _gather_stacked(pvs_all, li, tables))
+            out_carry = (pk_all, pv_all, pks_all, pvs_all)
+        else:
+            pk_all = write_l(pk_all, k)
+            pv_all = write_l(pv_all, v)
+            att = _dense_from_gathered(
+                q, _gather_stacked(pk_all, li, tables),
+                _gather_stacked(pv_all, li, tables), positions)
+            out_carry = (pk_all, pv_all)
+        x = x + linear(att.reshape(B, S, H * D), w["wo"])
+        h2 = rms_norm(x, w["ffn_norm"], cfg.norm_eps)
+        x = x + swiglu(h2, w["w_gate"], w["w_up"], w["w_down"])
+        return (x,) + out_carry + (li + 1,), None
+
+    if quantized:
+        init = (x, pool.k, pool.v, pool.k_scale, pool.v_scale, jnp.int32(0))
+        (x, pk_new, pv_new, pks_new, pvs_new, _), _ = lax.scan(
+            block_carried, init, params.layers)
+        new_pool = PagedKVPool(k=pk_new, v=pv_new,
+                               k_scale=pks_new, v_scale=pvs_new)
+    else:
+        (x, pk_new, pv_new, _), _ = lax.scan(
+            block_carried, (x, pool.k, pool.v, jnp.int32(0)), params.layers)
+        new_pool = PagedKVPool(k=pk_new, v=pv_new)
+    x = rms_norm(x, params.norm, cfg.norm_eps)
+    logits = linear(x, params.output, out_dtype=jnp.float32)   # [B, S, vocab]
     return logits, new_pool
 
 

@@ -8,6 +8,11 @@ incrementally as it decodes, and returns them the instant it finishes — HBM
 tracks live tokens, so the same pool admits far more concurrent requests
 than dense slots would (or the same requests in far less memory).
 
+Speculative decoding composes with the pool: each verify step writes K+1
+rows per slot, so the scheduler backs positions pos..pos+K with blocks
+before the step and clamps a slot's draft count to what the pool could
+back — a dry pool degrades to fewer (or zero) drafts, never a stall.
+
 Scheduling policy (host-side, O(slots) per step):
   * admission needs ``prompt_len // bs + 1`` free blocks (prompt + the next
     write position); requests that don't fit wait in FIFO order — admission
@@ -42,6 +47,7 @@ from llama_nuts_and_bolts_tpu.models.llama.paged import (
     TRASH_BLOCK,
     PagedKVPool,
     paged_decode_step,
+    paged_decode_step_spec,
     paged_prefill,
     paged_prefill_shared,
 )
@@ -120,6 +126,20 @@ def _decode_jit(params, cfg, tokens, positions, pool, tables, attn_impl,
     return toks, lp, pool
 
 
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))
+def _decode_spec_jit(params, cfg, tokens, positions, pool, tables,
+                     keys, temps, top_ks, top_ps):
+    """Paged speculative step: greedy argmax of every row (the verification
+    chain), a row-0 sample for non-speculating slots, row-0 logprob info."""
+    logits, pool = paged_decode_step_spec(params, cfg, tokens, positions,
+                                          pool, tables)
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # [B, K+1]
+    sampled0 = sample_tokens_batched(logits[:, 0], keys, positions,
+                                     temps, top_ks, top_ps)
+    lp0 = top_logprobs_batched(logits[:, 0], sampled0, LOGPROBS_K)
+    return preds, sampled0, lp0, pool
+
+
 class PagedBatcher(ContinuousBatcher):
     """Continuous batcher over a paged KV pool.
 
@@ -134,7 +154,8 @@ class PagedBatcher(ContinuousBatcher):
                  block_size: int = DEFAULT_BLOCK_SIZE,
                  attn_impl: Optional[str] = None,
                  prefix_cache: bool = True,
-                 allocator_backend: str = "auto") -> None:
+                 allocator_backend: str = "auto",
+                 speculate_k: int = 0) -> None:
         import threading
 
         self.engine = engine
@@ -142,7 +163,14 @@ class PagedBatcher(ContinuousBatcher):
         self.vocab = engine.model.vocab
         self.n_slots = n_slots
         self.seq_len = engine.seq_len
-        self.speculate_k = 0     # speculation is a dense-batcher feature
+        # n-gram prompt-lookup speculation composes with the paged pool:
+        # each verify step writes K+1 rows per slot, so the scheduler backs
+        # positions pos..pos+K with blocks BEFORE the step and clamps a
+        # slot's draft count to what it could back (pool-dry ⇒ fewer or
+        # zero drafts, never a stall)
+        self.speculate_k = speculate_k
+        self._proposers = [None] * n_slots
+        self.spec_stats = {"spec_steps": 0, "drafted": 0, "accepted": 0}
         kv_is_int8 = (getattr(engine.args, "kv_cache_dtype", "bf16")
                       == "int8")
         if attn_impl is None:
@@ -216,6 +244,7 @@ class PagedBatcher(ContinuousBatcher):
         self.allocator.free(self._slot_blocks[slot])
         self._slot_blocks[slot] = []
         self.tables[slot, :] = TRASH_BLOCK
+        self._proposers[slot] = None
         super()._release_slot(slot)
 
     def _admit(self) -> None:
@@ -286,10 +315,114 @@ class PagedBatcher(ContinuousBatcher):
             self.slots[slot] = req
             self._feed[slot] = int(first)
             self._pos[slot] = plen
+            if self.speculate_k and self._speculates(req):
+                from llama_nuts_and_bolts_tpu.runtime.speculative import (
+                    NgramProposer,
+                )
+
+                self._proposers[slot] = NgramProposer(
+                    req.prompt + [int(first)])
             self._record_logprobs(slot, int(first), lp)
             self._emit(slot, int(first))
 
+    def _back_positions(self, slot: int, upto_pos: int) -> int:
+        """Grow slot's blocks until position ``upto_pos`` is backed (or the
+        pool/table runs out); returns the highest backed position."""
+        bs = self.block_size
+        blocks = self._slot_blocks[slot]
+        while (len(blocks) * bs <= upto_pos
+               and len(blocks) < self.max_blocks):
+            grown = self.allocator.alloc(1)
+            if grown is None:
+                break
+            self.tables[slot, len(blocks)] = grown[0]
+            blocks.extend(grown)
+        return len(blocks) * bs - 1
+
+    def _step_speculative_paged(self) -> None:
+        """One speculative iteration over the paged pool: every slot's feed
+        token plus up to K n-gram drafts verify in ONE [B, K+1] forward.
+        Before the step, each speculating slot's positions pos..pos+K are
+        backed with blocks (draft count clamped to what the pool could
+        back); rejected rows' writes land in backed blocks beyond the
+        accepted point and are overwritten before they can become visible.
+        Emission mirrors the dense batcher's chain replay, with the paged
+        growth/graceful-finish rule applied at the chain's end."""
+        from llama_nuts_and_bolts_tpu.runtime.speculative import (
+            longest_accepted_prefix,
+        )
+
+        K = self.speculate_k
+        bs = self.block_size
+        with self._lock:
+            self._sweep_cancelled()
+            self._admit()
+            if not any(r is not None for r in self.slots):
+                return
+            step_tokens = np.tile(self._feed[:, None], (1, K + 1))
+            draft_lists: List[List[int]] = [[] for _ in range(self.n_slots)]
+            for slot in range(self.n_slots):
+                prop = (self._proposers[slot] if self.slots[slot] is not None
+                        else None)
+                if prop is None:
+                    continue
+                p0 = int(self._pos[slot])
+                backed = self._back_positions(slot, p0 + K)
+                k_eff = min(K, backed - p0, self.seq_len - p0 - 2)
+                if k_eff <= 0:
+                    continue
+                drafts = prop.propose(k_eff)
+                draft_lists[slot] = drafts
+                step_tokens[slot, 1:1 + len(drafts)] = drafts
+
+            preds, sampled0, lp, self.pool = _decode_spec_jit(
+                self.engine.model.params, self.cfg,
+                jnp.asarray(step_tokens), jnp.asarray(self._pos), self.pool,
+                jnp.asarray(self.tables), jnp.asarray(self._key),
+                jnp.asarray(self._temp), jnp.asarray(self._topk),
+                jnp.asarray(self._topp))
+            preds = np.asarray(preds)
+            sampled0 = np.asarray(sampled0)
+
+            pos_cap = self.max_blocks * bs - 1
+            for slot in range(self.n_slots):
+                req = self.slots[slot]
+                p0 = int(self._pos[slot])
+                if req is None:
+                    self._pos[slot] = min(p0 + 1, pos_cap)
+                    continue
+                if self._proposers[slot] is not None:
+                    drafts = draft_lists[slot]
+                    acc = longest_accepted_prefix(
+                        drafts, preds[slot, :len(drafts)].tolist())
+                    chain = drafts[:acc] + [int(preds[slot, acc])]
+                    self.spec_stats["spec_steps"] += 1
+                    self.spec_stats["drafted"] += len(drafts)
+                    self.spec_stats["accepted"] += acc
+                else:
+                    chain = [int(sampled0[slot])]
+                for j, tok in enumerate(chain):
+                    if self.slots[slot] is None:
+                        break                      # a stop token ended it
+                    self._pos[slot] = min(p0 + j + 1, pos_cap)
+                    self._feed[slot] = tok
+                    if self._proposers[slot] is not None:
+                        self._proposers[slot].extend([tok])
+                    else:
+                        self._record_logprobs(slot, tok, lp, row=slot)
+                    # the NEXT write position must be backed before this
+                    # token is emitted — pool-dry becomes a graceful finish
+                    force_finish = False
+                    if j + 1 == len(chain):
+                        backed = self._back_positions(
+                            slot, int(self._pos[slot]))
+                        force_finish = backed < int(self._pos[slot])
+                    self._emit(slot, tok, force_finish=force_finish)
+
     def step(self) -> None:
+        if self.speculate_k:
+            self._step_speculative_paged()
+            return
         with self._lock:
             self._sweep_cancelled()
             self._admit()

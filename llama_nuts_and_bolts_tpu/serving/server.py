@@ -93,9 +93,10 @@ class LlamaHTTPServer:
             if paged_blocks:
                 from llama_nuts_and_bolts_tpu.runtime.paged import PagedBatcher
 
-                self.batcher = PagedBatcher(engine, n_slots=continuous_slots,
-                                            n_blocks=paged_blocks,
-                                            prefix_cache=prefix_cache)
+                self.batcher = PagedBatcher(
+                    engine, n_slots=continuous_slots, n_blocks=paged_blocks,
+                    prefix_cache=prefix_cache,
+                    speculate_k=getattr(engine.args, "speculate_k", 0))
             else:
                 from llama_nuts_and_bolts_tpu.runtime.continuous import (
                     ContinuousBatcher,

@@ -343,3 +343,72 @@ def test_paged_batcher_int8_pallas_e2e():
     rb.run_until_idle()
     for r, rr in zip(reqs, ref_reqs):
         assert list(r.tokens(timeout=5)) == list(rr.tokens(timeout=5))
+
+
+# --------------------------------------------- speculative over paged pools
+
+def test_paged_spec_matches_plain_greedy():
+    """Speculative paged batching must emit exactly the sequential engine's
+    greedy tokens for every slot (blocks backed ahead of each verify step)."""
+    eng = make_engine(sequence_length=32)
+    cb = PagedBatcher(eng, n_slots=3, block_size=BS, speculate_k=3)
+    prompts = [[3, 3, 3, 3], [1, 5, 9], [7, 8]]
+    reqs = [cb.submit(p) for p in prompts]
+    cb.run_until_idle()
+    for p, r in zip(prompts, reqs):
+        assert drain(r) == seq_tokens(p, seq_len=32), \
+            f"divergence for prompt {p}"
+    assert cb.spec_stats["spec_steps"] > 0
+    # every block returned
+    assert cb.allocator.available == cb.allocator.n_blocks - 1
+
+
+def test_paged_spec_accepts_and_crosses_block_boundaries():
+    """Accepted chains must stride across block boundaries (the backed
+    pos..pos+K window spans blocks at BS=8, K=4)."""
+    eng = make_engine(sequence_length=48)
+    cb = PagedBatcher(eng, n_slots=2, block_size=BS, speculate_k=4)
+    r = cb.submit([3, 3, 3, 3])
+    cb.run_until_idle()
+    ref = seq_tokens([3, 3, 3, 3], seq_len=48)
+    assert drain(r) == ref
+    if len(ref) > 12:
+        assert cb.spec_stats["accepted"] > 0
+
+
+def test_paged_spec_pool_starvation_clamps_drafts():
+    """A pool too small to back pos..pos+K clamps the draft count instead of
+    stalling; every request still terminates with sequential-prefix tokens
+    and all blocks come back."""
+    eng = make_engine(sequence_length=32)
+    cb = PagedBatcher(eng, n_slots=2, block_size=BS, n_blocks=5,
+                      speculate_k=4)
+    r1 = cb.submit([1, 5, 9], max_new_tokens=6)
+    r2 = cb.submit([7, 8], max_new_tokens=6)
+    cb.run_until_idle()
+    out1, out2 = drain(r1), drain(r2)
+    ref1 = seq_tokens([1, 5, 9])[:6]
+    ref2 = seq_tokens([7, 8])[:6]
+    assert [t for _, t in out1] == [t for _, t in ref1][:len(out1)]
+    assert [t for _, t in out2] == [t for _, t in ref2][:len(out2)]
+    assert out1[-1][0] != GenerationState.IN_PROGRESS
+    assert out2[-1][0] != GenerationState.IN_PROGRESS
+    assert cb.allocator.available == 4
+
+
+def test_paged_spec_mixed_greedy_and_sampled():
+    """Sampled slots ride the paged speculative step without speculating;
+    greedy neighbors still match the sequential engine, sampled slots stay
+    seed-deterministic."""
+    eng = make_engine(sequence_length=32)
+    cb = PagedBatcher(eng, n_slots=2, block_size=BS, speculate_k=3)
+    rg = cb.submit([1, 5, 9])
+    rs = cb.submit([7, 8], temperature=0.9, seed=11)
+    cb.run_until_idle()
+    assert drain(rg) == seq_tokens([1, 5, 9], seq_len=32)
+    out_s1 = [t for _, t in drain(rs)]
+    cb2 = PagedBatcher(make_engine(sequence_length=32), n_slots=2,
+                       block_size=BS, speculate_k=3)
+    rs2 = cb2.submit([7, 8], temperature=0.9, seed=11)
+    cb2.run_until_idle()
+    assert [t for _, t in drain(rs2)] == out_s1
