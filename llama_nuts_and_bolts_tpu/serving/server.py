@@ -29,6 +29,15 @@ import threading
 import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class _HTTPServer(ThreadingHTTPServer):
+    # a burst of connects beyond the default listen backlog (5) gets
+    # kernel-level RSTs before the admission gate can answer 429 — deepen
+    # the backlog so overload is handled by OUR bounded-admission policy,
+    # not the TCP stack's
+    request_queue_size = 128
+    daemon_threads = True
 from typing import Optional
 
 from llama_nuts_and_bolts_tpu.runtime import InferenceEngine
@@ -630,13 +639,13 @@ class LlamaHTTPServer:
         return Handler
 
     def serve_forever(self, host: str = "127.0.0.1", port: int = 8000):
-        self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        self._httpd = _HTTPServer((host, port), self.make_handler())
         get_logger().info("Serving %s on http://%s:%d", self.model_name, host, port)
         self._httpd.serve_forever()
 
     def start_background(self, host: str = "127.0.0.1", port: int = 0) -> int:
         """Start in a daemon thread; returns the bound port (0 ⇒ ephemeral)."""
-        self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        self._httpd = _HTTPServer((host, port), self.make_handler())
         t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         t.start()
         return self._httpd.server_address[1]
