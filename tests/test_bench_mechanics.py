@@ -75,3 +75,39 @@ def test_bench_snapshot_reader_takes_last_parseable(tmp_path):
     p = tmp_path / "s.jsonl"
     p.write_text('{"detail": {"x": 1}}\n{"detail": {"x": 2}}\n{"truncated...')
     assert bench._read_snapshot(str(p)) == {"detail": {"x": 2}}
+
+
+def test_bench_merge_clears_stale_outage_on_device_success():
+    """A killed pre-RPC stage leaves outage markers; a later stage that
+    reaches the device must clear them (a final record carrying a valid
+    value PLUS outage:true would be contradictory)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    results = {}
+    # stage 1: killed mid-stall — watcher markers only
+    bench._merge(results, {"detail": {"outage": True,
+                                      "first_rpc_wait_s": 310.0}})
+    assert results["detail"]["outage"] is True
+    # stage 2 (retry): reached the device and landed a number
+    bench._merge(results, {"detail": {"first_rpc_s": 12.0, "device": "TPU"},
+                           "metric": "m", "value": 60.0, "vs_baseline": 0.95})
+    assert "outage" not in results["detail"]
+    assert "first_rpc_wait_s" not in results["detail"]
+    assert results["value"] == 60.0
+
+
+def test_bench_merge_keeps_outage_when_retry_also_stalls():
+    """Two stages both killed pre-RPC: the final record must still carry
+    the outage attribution."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    results = {}
+    bench._merge(results, {"detail": {"outage": True,
+                                      "first_rpc_wait_s": 300.0}})
+    bench._merge(results, {"detail": {"outage": True,
+                                      "first_rpc_wait_s": 450.0}})
+    assert results["detail"]["outage"] is True
+    assert results["detail"]["first_rpc_wait_s"] == 450.0
+    assert results.get("value") is None
