@@ -203,6 +203,70 @@ class LlamaHTTPServer:
         except UnicodeDecodeError:
             return "".join(f"<0x{b:02X}>" for b in piece)
 
+    def generate_stream_logprobs(self, tokens, max_tokens: int,
+                                 temperature: float, top_k: int, top_p: float,
+                                 seed, n_logprobs: int, stats=None):
+        """Streaming generation with per-token logprobs: yields
+        (text_piece, finish_reason|None, entries) where ``entries`` are the
+        OpenAI-style logprob records for exactly the tokens this piece
+        consumed — byte-fallback tokens still buffered in the detokenizer
+        ride with the piece that flushes them, so text and logprobs stay
+        aligned. Batcher-only (the shared decode step computes the top-5
+        rows anyway); the stop-sequence holdback re-chunks text and is
+        rejected with this mode at the API layer."""
+        if self.batcher is None:
+            raise ValueError("streamed logprobs require continuous batching "
+                             "(--continuous N)")
+        if stats is None:
+            stats = {}
+        if seed is None:
+            import os as _os
+
+            seed = int.from_bytes(_os.urandom(8), "big")
+        req = self.batcher.submit(tokens, max_new_tokens=max_tokens,
+                                  temperature=temperature, top_k=top_k,
+                                  top_p=top_p, seed=int(seed),
+                                  logprobs=n_logprobs)
+        vocab = self.engine.model.vocab
+        consumed = 0
+        pending = []
+
+        def entry_for(idx):
+            # the scheduler records a token's logprobs BEFORE placing it on
+            # the request queue, so the entry exists by consumption time
+            tok, chosen, tops = req.logprobs[idx]
+            return {"token": self.render_token(tok), "logprob": chosen,
+                    "top_logprobs": [
+                        {"token": self.render_token(i), "logprob": v}
+                        for i, v in tops[:n_logprobs]]}
+
+        try:
+            for part in self.engine._generate_string(req.tokens(timeout=120)):
+                stats["tokens"] = req.produced
+                if not part.is_resend_of_waiting:
+                    # stop tokens never surface in content; skip their entry
+                    if not vocab.is_stop(part.token_id):
+                        pending.append(entry_for(consumed))
+                    consumed += 1
+                if part.added_to_waiting:
+                    continue
+                finish = None
+                if part.generation_state == GenerationState.FINISHED_BY_REACHING_EOS:
+                    finish = "stop"
+                elif part.generation_state == GenerationState.FINISHED_BY_REACHING_SEQ_LEN:
+                    finish = "length"
+                text = part.decoded_string
+                if finish == "stop" and vocab.is_stop(part.token_id):
+                    text = ""
+                entries, pending = pending, []
+                yield text, finish, entries
+                if finish is not None:
+                    return
+            yield "", "length", pending
+        finally:
+            stats["tokens"] = req.produced
+            req.cancel()   # no-op if already finished
+
     def generate(self, tokens, max_tokens: int, temperature: float,
                  top_k: int = 0, top_p: float = 1.0, seed=None,
                  stats=None):
@@ -487,13 +551,16 @@ class LlamaHTTPServer:
                     self._json(400, {"error": {"message": f"bad parameter: {e}"}})
                     return
                 stream = bool(req.get("stream", False))
-                if n_logprobs and stream:
-                    self._json(400, {"error": {"message":
-                        "logprobs with stream=true is not supported"}})
-                    return
                 if n_logprobs and server_self.batcher is None:
                     self._json(400, {"error": {"message":
                         "logprobs requires the server to run with --continuous"}})
+                    return
+                if n_logprobs and stream and (stop or not is_chat):
+                    self._json(400, {"error": {"message":
+                        "streamed logprobs are supported for chat "
+                        "completions without 'stop' sequences (the stop "
+                        "holdback re-chunks text and would misalign "
+                        "token-level logprobs)"}})
                     return
                 if not server_self.try_admission():
                     with server_self._metrics_lock:
@@ -515,11 +582,16 @@ class LlamaHTTPServer:
                 created = int(time.time())
                 t_start = time.perf_counter()
                 gen_stats = {"tokens": 0}
-                gen = apply_stop_sequences(
-                    server_self.generate(tokens, max_tokens, temperature,
-                                         top_k=top_k, top_p=top_p, seed=seed,
-                                         stats=gen_stats),
-                    stop)
+                if stream and n_logprobs:
+                    gen = server_self.generate_stream_logprobs(
+                        tokens, max_tokens, temperature, top_k, top_p, seed,
+                        n_logprobs, stats=gen_stats)
+                else:
+                    gen = apply_stop_sequences(
+                        server_self.generate(tokens, max_tokens, temperature,
+                                             top_k=top_k, top_p=top_p,
+                                             seed=seed, stats=gen_stats),
+                        stop)
 
                 if stream:
                     self.send_response(200)
@@ -534,12 +606,18 @@ class LlamaHTTPServer:
                         self.wfile.write(payload + b"\r\n")
 
                     finish = None
-                    for text, fin in gen:
+                    for item in gen:
+                        if n_logprobs:
+                            text, fin, entries = item
+                        else:
+                            (text, fin), entries = item, None
                         delta = ({"content": text} if is_chat
                                  else None)
                         choice = ({"index": 0, "delta": delta, "finish_reason": fin}
                                   if is_chat else
                                   {"index": 0, "text": text, "finish_reason": fin})
+                        if entries is not None:
+                            choice["logprobs"] = {"content": entries}
                         chunk(json.dumps({
                             "id": rid, "created": created,
                             "object": ("chat.completion.chunk" if is_chat

@@ -313,3 +313,46 @@ def test_logprobs_align_with_stop_cut(cont_server):
     assert len(lp["tokens"]) <= len(lp_full["tokens"])
     assert len(lp["tokens"]) == len(lp["token_logprobs"])
     assert body["usage"]["completion_tokens"] == len(lp["tokens"])
+
+
+def test_chat_streamed_logprobs_match_block(cont_server):
+    """stream=true with logprobs (chat, no stop): the union of per-chunk
+    logprob entries must equal the non-streamed response's content entries,
+    and the concatenated deltas must equal the block content."""
+    msg = {"messages": [{"role": "user", "content": "hi"}],
+           "max_tokens": 5, "logprobs": True, "top_logprobs": 2}
+    _, block = post(cont_server + "/v1/chat/completions", msg)
+    block_entries = block["choices"][0]["logprobs"]["content"]
+    block_text = block["choices"][0]["message"]["content"]
+
+    req = urllib.request.Request(
+        cont_server + "/v1/chat/completions",
+        data=json.dumps({**msg, "stream": True}).encode(), method="POST",
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        raw = resp.read().decode()
+    events = [line[6:] for line in raw.split("\n") if line.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    text, entries = [], []
+    for e in events[:-1]:
+        choice = json.loads(e)["choices"][0]
+        text.append(choice["delta"].get("content", ""))
+        entries.extend(choice.get("logprobs", {}).get("content", []))
+    assert "".join(text) == block_text
+    assert [en["token"] for en in entries] == [
+        en["token"] for en in block_entries]
+    for a, b in zip(entries, block_entries):
+        assert abs(a["logprob"] - b["logprob"]) < 1e-5
+        assert [t["token"] for t in a["top_logprobs"]] == [
+            t["token"] for t in b["top_logprobs"]]
+
+
+def test_chat_streamed_logprobs_rejected_with_stop(cont_server):
+    try:
+        post(cont_server + "/v1/chat/completions",
+             {"messages": [{"role": "user", "content": "hi"}],
+              "max_tokens": 4, "logprobs": True, "stream": True,
+              "stop": ["xyz"]})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
