@@ -555,12 +555,11 @@ class LlamaHTTPServer:
                     self._json(400, {"error": {"message":
                         "logprobs requires the server to run with --continuous"}})
                     return
-                if n_logprobs and stream and (stop or not is_chat):
+                if n_logprobs and stream and stop:
                     self._json(400, {"error": {"message":
-                        "streamed logprobs are supported for chat "
-                        "completions without 'stop' sequences (the stop "
-                        "holdback re-chunks text and would misalign "
-                        "token-level logprobs)"}})
+                        "streamed logprobs are not supported together with "
+                        "'stop' sequences (the stop holdback re-chunks text "
+                        "and would misalign token-level logprobs)"}})
                     return
                 if not server_self.try_admission():
                     with server_self._metrics_lock:
@@ -617,7 +616,19 @@ class LlamaHTTPServer:
                                   if is_chat else
                                   {"index": 0, "text": text, "finish_reason": fin})
                         if entries is not None:
-                            choice["logprobs"] = {"content": entries}
+                            if is_chat:
+                                choice["logprobs"] = {"content": entries}
+                            else:
+                                # legacy completions wire format
+                                choice["logprobs"] = {
+                                    "tokens": [e["token"] for e in entries],
+                                    "token_logprobs": [e["logprob"]
+                                                       for e in entries],
+                                    "top_logprobs": [
+                                        {t["token"]: t["logprob"]
+                                         for t in e["top_logprobs"]}
+                                        for e in entries],
+                                }
                         chunk(json.dumps({
                             "id": rid, "created": created,
                             "object": ("chat.completion.chunk" if is_chat

@@ -268,13 +268,32 @@ def test_logprobs_rejected_without_batcher(server):
         assert e.code == 400
 
 
-def test_logprobs_rejected_with_stream(cont_server):
-    try:
-        post(cont_server + "/v1/completions",
-             {"prompt": "hello", "max_tokens": 4, "logprobs": 2, "stream": True})
-        assert False, "expected 400"
-    except urllib.error.HTTPError as e:
-        assert e.code == 400
+def test_completions_streamed_logprobs(cont_server):
+    """Completions streaming carries the legacy logprobs wire format; the
+    union across chunks must match the non-streamed response."""
+    msg = {"prompt": "hello", "max_tokens": 4, "logprobs": 2}
+    _, block = post(cont_server + "/v1/completions", msg)
+    blp = block["choices"][0]["logprobs"]
+
+    req = urllib.request.Request(
+        cont_server + "/v1/completions",
+        data=json.dumps({**msg, "stream": True}).encode(), method="POST",
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        raw = resp.read().decode()
+    events = [line[6:] for line in raw.split("
+") if line.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    toks, lps = [], []
+    for e in events[:-1]:
+        choice = json.loads(e)["choices"][0]
+        lp = choice.get("logprobs")
+        if lp:
+            toks.extend(lp["tokens"])
+            lps.extend(lp["token_logprobs"])
+    assert toks == blp["tokens"]
+    for a, b in zip(lps, blp["token_logprobs"]):
+        assert abs(a - b) < 1e-5
 
 
 # ------------------------------------------------------- review regressions
