@@ -281,8 +281,7 @@ def test_completions_streamed_logprobs(cont_server):
         headers={"Content-Type": "application/json"})
     with urllib.request.urlopen(req, timeout=120) as resp:
         raw = resp.read().decode()
-    events = [line[6:] for line in raw.split("
-") if line.startswith("data: ")]
+    events = [line[6:] for line in raw.split("\n") if line.startswith("data: ")]
     assert events[-1] == "[DONE]"
     toks, lps = [], []
     for e in events[:-1]:
