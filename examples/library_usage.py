@@ -27,6 +27,9 @@ def main():
 
         model = load_tiny_model()
     else:
+        if not args.model_dir:
+            p.error("--model-dir DIR is required (or pass --tiny for a "
+                    "weights-free smoke test)")
         from llama_nuts_and_bolts_tpu import load_llama_model
 
         model = load_llama_model(args.model_dir, max_sequence_length=200)
