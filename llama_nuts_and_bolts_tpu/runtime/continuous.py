@@ -290,6 +290,44 @@ class ContinuousBatcher:
             self._record_logprobs(slot, int(first), lp)
             self._emit(slot, int(first))
 
+    def _accepted_chain(self, slot: int, drafts, preds, sampled0):
+        """The tokens slot ``slot`` emits after a speculative verify step:
+        the accepted draft prefix plus the model's own continuation for
+        speculating slots; the row-0 sample otherwise."""
+        from llama_nuts_and_bolts_tpu.runtime.speculative import (
+            longest_accepted_prefix,
+        )
+
+        if self._proposers[slot] is None:
+            return [int(sampled0[slot])]
+        acc = longest_accepted_prefix(drafts,
+                                      preds[slot, :len(drafts)].tolist())
+        self.spec_stats["spec_steps"] += 1
+        self.spec_stats["drafted"] += len(drafts)
+        self.spec_stats["accepted"] += acc
+        return drafts[:acc] + [int(preds[slot, acc])]
+
+    def _replay_chain(self, slot: int, chain, p0: int, lp, pos_cap: int,
+                      end_hook=None) -> None:
+        """Emit an accepted chain token by token: advance the position,
+        update the feed, proposer/logprob bookkeeping, and the shared stop
+        rules — identical for the dense and paged schedulers.
+        ``end_hook(slot)`` (paged) runs before the FINAL token's emission
+        and may return True to force-finish (next write position not
+        backable)."""
+        for j, tok in enumerate(chain):
+            if self.slots[slot] is None:
+                break                      # a stop token ended it
+            self._pos[slot] = min(p0 + j + 1, pos_cap)
+            self._feed[slot] = tok
+            if self._proposers[slot] is not None:
+                self._proposers[slot].extend([tok])
+            else:
+                self._record_logprobs(slot, tok, lp, row=slot)
+            force_finish = bool(end_hook(slot)) if (
+                end_hook is not None and j + 1 == len(chain)) else False
+            self._emit(slot, tok, force_finish=force_finish)
+
     def _speculates(self, req: Request) -> bool:
         """Only greedy, no-logprobs requests draft (sampled rows can't be
         verified by argmax; logprobs need one step per token)."""
@@ -412,26 +450,9 @@ class ContinuousBatcher:
                 if req is None:
                     self._pos[slot] = min(p0 + 1, pos_cap)
                     continue
-                if self._proposers[slot] is not None:
-                    drafts = draft_lists[slot]
-                    acc = longest_accepted_prefix(
-                        drafts, preds[slot, :len(drafts)].tolist())
-                    chain = drafts[:acc] + [int(preds[slot, acc])]
-                    self.spec_stats["spec_steps"] += 1
-                    self.spec_stats["drafted"] += len(drafts)
-                    self.spec_stats["accepted"] += acc
-                else:
-                    chain = [int(sampled0[slot])]
-                for j, tok in enumerate(chain):
-                    if self.slots[slot] is None:
-                        break                      # a stop token ended it
-                    self._pos[slot] = min(p0 + j + 1, pos_cap)
-                    self._feed[slot] = tok
-                    if self._proposers[slot] is not None:
-                        self._proposers[slot].extend([tok])
-                    else:
-                        self._record_logprobs(slot, tok, lp, row=slot)
-                    self._emit(slot, tok)
+                chain = self._accepted_chain(slot, draft_lists[slot],
+                                             preds, sampled0)
+                self._replay_chain(slot, chain, p0, lp, pos_cap)
 
     # -------------------------------------------------------- serving glue
 

@@ -342,16 +342,17 @@ class PagedBatcher(ContinuousBatcher):
     def _step_speculative_paged(self) -> None:
         """One speculative iteration over the paged pool: every slot's feed
         token plus up to K n-gram drafts verify in ONE [B, K+1] forward.
+        Every emitted token is that forward's own argmax, so exactness holds
+        by construction per-forward; as with chunked decode, the K+1-row and
+        1-row programs are separately compiled, so argmax NEAR-TIES can in
+        principle resolve differently between spec on/off — equivalence with
+        the sequential engine is verified by tests on the tested configs.
         Before the step, each speculating slot's positions pos..pos+K are
         backed with blocks (draft count clamped to what the pool could
         back); rejected rows' writes land in backed blocks beyond the
         accepted point and are overwritten before they can become visible.
         Emission mirrors the dense batcher's chain replay, with the paged
         growth/graceful-finish rule applied at the chain's end."""
-        from llama_nuts_and_bolts_tpu.runtime.speculative import (
-            longest_accepted_prefix,
-        )
-
         K = self.speculate_k
         bs = self.block_size
         with self._lock:
@@ -367,13 +368,31 @@ class PagedBatcher(ContinuousBatcher):
                 if prop is None:
                     continue
                 p0 = int(self._pos[slot])
-                backed = self._back_positions(slot, p0 + K)
+                # never allocate blocks for positions past what the seq cap
+                # allows writing (a finishing slot must not starve stalled
+                # admissions)
+                target = min(p0 + K, self.seq_len - 2)
+                backed = self._back_positions(slot, target)
                 k_eff = min(K, backed - p0, self.seq_len - p0 - 2)
                 if k_eff <= 0:
                     continue
                 drafts = prop.propose(k_eff)
                 draft_lists[slot] = drafts
                 step_tokens[slot, 1:1 + len(drafts)] = drafts
+
+            if not any(draft_lists):
+                # nobody drafted this step (sampled/logprobs-only traffic,
+                # dry proposers, or clamped k): the plain step is strictly
+                # cheaper — 1 query row instead of K+1 and the Pallas
+                # decode path instead of the spec forward's gather. The
+                # proposers must still see the emitted tokens or their
+                # n-gram windows never grow into matches.
+                self._plain_step_locked()
+                for slot in range(self.n_slots):
+                    if (self.slots[slot] is not None
+                            and self._proposers[slot] is not None):
+                        self._proposers[slot].extend([int(self._feed[slot])])
+                return
 
             preds, sampled0, lp, self.pool = _decode_spec_jit(
                 self.engine.model.params, self.cfg,
@@ -384,6 +403,12 @@ class PagedBatcher(ContinuousBatcher):
             preds = np.asarray(preds)
             sampled0 = np.asarray(sampled0)
 
+            def end_hook(slot):
+                # the NEXT write position must be backed before the chain's
+                # last token is emitted — pool-dry becomes a graceful finish
+                backed = self._back_positions(slot, int(self._pos[slot]))
+                return backed < int(self._pos[slot])
+
             pos_cap = self.max_blocks * bs - 1
             for slot in range(self.n_slots):
                 req = self.slots[slot]
@@ -391,33 +416,10 @@ class PagedBatcher(ContinuousBatcher):
                 if req is None:
                     self._pos[slot] = min(p0 + 1, pos_cap)
                     continue
-                if self._proposers[slot] is not None:
-                    drafts = draft_lists[slot]
-                    acc = longest_accepted_prefix(
-                        drafts, preds[slot, :len(drafts)].tolist())
-                    chain = drafts[:acc] + [int(preds[slot, acc])]
-                    self.spec_stats["spec_steps"] += 1
-                    self.spec_stats["drafted"] += len(drafts)
-                    self.spec_stats["accepted"] += acc
-                else:
-                    chain = [int(sampled0[slot])]
-                for j, tok in enumerate(chain):
-                    if self.slots[slot] is None:
-                        break                      # a stop token ended it
-                    self._pos[slot] = min(p0 + j + 1, pos_cap)
-                    self._feed[slot] = tok
-                    if self._proposers[slot] is not None:
-                        self._proposers[slot].extend([tok])
-                    else:
-                        self._record_logprobs(slot, tok, lp, row=slot)
-                    # the NEXT write position must be backed before this
-                    # token is emitted — pool-dry becomes a graceful finish
-                    force_finish = False
-                    if j + 1 == len(chain):
-                        backed = self._back_positions(
-                            slot, int(self._pos[slot]))
-                        force_finish = backed < int(self._pos[slot])
-                    self._emit(slot, tok, force_finish=force_finish)
+                chain = self._accepted_chain(slot, draft_lists[slot],
+                                             preds, sampled0)
+                self._replay_chain(slot, chain, p0, lp, pos_cap,
+                                   end_hook=end_hook)
 
     def step(self) -> None:
         if self.speculate_k:
@@ -428,6 +430,11 @@ class PagedBatcher(ContinuousBatcher):
             self._admit()
             if not any(r is not None for r in self.slots):
                 return
+            self._plain_step_locked()
+
+    def _plain_step_locked(self) -> None:
+        """One plain decode step; caller holds the lock and has admitted."""
+        if True:
             # invariant: every active slot's current write position is backed
             nxt, lp, self.pool = _decode_jit(
                 self.engine.model.params, self.cfg,

@@ -29,6 +29,12 @@ import threading
 import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from llama_nuts_and_bolts_tpu.runtime import InferenceEngine
+from llama_nuts_and_bolts_tpu.runtime.types import GenerationState
+from llama_nuts_and_bolts_tpu.tokenizer import PromptPart
+from llama_nuts_and_bolts_tpu.utils.logging import get_logger
 
 
 class _HTTPServer(ThreadingHTTPServer):
@@ -37,13 +43,6 @@ class _HTTPServer(ThreadingHTTPServer):
     # the backlog so overload is handled by OUR bounded-admission policy,
     # not the TCP stack's
     request_queue_size = 128
-    daemon_threads = True
-from typing import Optional
-
-from llama_nuts_and_bolts_tpu.runtime import InferenceEngine
-from llama_nuts_and_bolts_tpu.runtime.types import GenerationState
-from llama_nuts_and_bolts_tpu.tokenizer import PromptPart
-from llama_nuts_and_bolts_tpu.utils.logging import get_logger
 
 
 def apply_stop_sequences(gen, stops):
@@ -173,13 +172,9 @@ class LlamaHTTPServer:
         if self.batcher is None:
             raise ValueError("logprobs requires continuous batching "
                              "(--continuous N)")
-        if seed is None:
-            import os as _os
-
-            seed = int.from_bytes(_os.urandom(8), "big")
         req = self.batcher.submit(tokens, max_new_tokens=max_tokens,
                                   temperature=temperature, top_k=top_k,
-                                  top_p=top_p, seed=int(seed),
+                                  top_p=top_p, seed=self._default_seed(seed),
                                   logprobs=n_logprobs)
         ids, finish = [], "length"
         for state, tok in req.tokens(timeout=120):
@@ -203,6 +198,29 @@ class LlamaHTTPServer:
         except UnicodeDecodeError:
             return "".join(f"<0x{b:02X}>" for b in piece)
 
+    @staticmethod
+    def _default_seed(seed):
+        """OpenAI semantics: absent seed = fresh entropy per request."""
+        if seed is not None:
+            return int(seed)
+        import os as _os
+
+        return int.from_bytes(_os.urandom(8), "big")
+
+    def _finish_of(self, part):
+        """Map a GeneratedPart to (finish_reason|None, text): the shared
+        terminal-state mapping + stop-token text suppression used by every
+        streaming variant."""
+        finish = None
+        if part.generation_state == GenerationState.FINISHED_BY_REACHING_EOS:
+            finish = "stop"
+        elif part.generation_state == GenerationState.FINISHED_BY_REACHING_SEQ_LEN:
+            finish = "length"
+        text = part.decoded_string
+        if finish == "stop" and self.engine.model.vocab.is_stop(part.token_id):
+            text = ""   # never surface the stop token's piece
+        return finish, text
+
     def generate_stream_logprobs(self, tokens, max_tokens: int,
                                  temperature: float, top_k: int, top_p: float,
                                  seed, n_logprobs: int, stats=None):
@@ -219,13 +237,9 @@ class LlamaHTTPServer:
                              "(--continuous N)")
         if stats is None:
             stats = {}
-        if seed is None:
-            import os as _os
-
-            seed = int.from_bytes(_os.urandom(8), "big")
         req = self.batcher.submit(tokens, max_new_tokens=max_tokens,
                                   temperature=temperature, top_k=top_k,
-                                  top_p=top_p, seed=int(seed),
+                                  top_p=top_p, seed=self._default_seed(seed),
                                   logprobs=n_logprobs)
         vocab = self.engine.model.vocab
         consumed = 0
@@ -250,14 +264,7 @@ class LlamaHTTPServer:
                     consumed += 1
                 if part.added_to_waiting:
                     continue
-                finish = None
-                if part.generation_state == GenerationState.FINISHED_BY_REACHING_EOS:
-                    finish = "stop"
-                elif part.generation_state == GenerationState.FINISHED_BY_REACHING_SEQ_LEN:
-                    finish = "length"
-                text = part.decoded_string
-                if finish == "stop" and vocab.is_stop(part.token_id):
-                    text = ""
+                finish, text = self._finish_of(part)
                 entries, pending = pending, []
                 yield text, finish, entries
                 if finish is not None:
@@ -283,26 +290,16 @@ class LlamaHTTPServer:
         if stats is None:
             stats = {}
         if self.batcher is not None:
-            if seed is None:
-                import os as _os
-
-                seed = int.from_bytes(_os.urandom(8), "big")
             req = self.batcher.submit(tokens, max_new_tokens=max_tokens,
                                       temperature=temperature, top_k=top_k,
-                                      top_p=top_p, seed=int(seed))
+                                      top_p=top_p,
+                                      seed=self._default_seed(seed))
             try:
                 for part in self.engine._generate_string(req.tokens(timeout=120)):
                     stats["tokens"] = req.produced
                     if part.added_to_waiting:
                         continue
-                    finish = None
-                    if part.generation_state == GenerationState.FINISHED_BY_REACHING_EOS:
-                        finish = "stop"
-                    elif part.generation_state == GenerationState.FINISHED_BY_REACHING_SEQ_LEN:
-                        finish = "length"
-                    text = part.decoded_string
-                    if finish == "stop" and self.engine.model.vocab.is_stop(part.token_id):
-                        text = ""
+                    finish, text = self._finish_of(part)
                     yield text, finish
                     if finish is not None:
                         return
@@ -343,14 +340,7 @@ class LlamaHTTPServer:
                 for part in self.engine._generate_string(limited()):
                     if part.added_to_waiting:
                         continue
-                    finish = None
-                    if part.generation_state == GenerationState.FINISHED_BY_REACHING_EOS:
-                        finish = "stop"
-                    elif part.generation_state == GenerationState.FINISHED_BY_REACHING_SEQ_LEN:
-                        finish = "length"
-                    text = part.decoded_string
-                    if finish == "stop" and self.engine.model.vocab.is_stop(part.token_id):
-                        text = ""  # don't surface the stop token's piece
+                    finish, text = self._finish_of(part)
                     yield text, finish
                     if finish is not None:
                         return

@@ -348,8 +348,12 @@ def test_paged_batcher_int8_pallas_e2e():
 # --------------------------------------------- speculative over paged pools
 
 def test_paged_spec_matches_plain_greedy():
-    """Speculative paged batching must emit exactly the sequential engine's
-    greedy tokens for every slot (blocks backed ahead of each verify step)."""
+    """Speculative paged batching emits the sequential engine's greedy
+    tokens for every slot on these configs (blocks backed ahead of each
+    verify step). Note: the K+1-row verify forward is a separately compiled
+    program, so argmax near-ties COULD resolve differently on another
+    platform — this equivalence is empirical, mirroring the chunked-decode
+    contract (runtime/engine.py docstring)."""
     eng = make_engine(sequence_length=32)
     cb = PagedBatcher(eng, n_slots=3, block_size=BS, speculate_k=3)
     prompts = [[3, 3, 3, 3], [1, 5, 9], [7, 8]]
