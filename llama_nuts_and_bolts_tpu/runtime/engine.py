@@ -178,11 +178,16 @@ class InferenceEngine:
                 # the forced impl where it can run, fall back for prefill
                 return "xla"
             return forced
+        bucket = cache_len or self.seq_len
         if self.args.kv_cache_dtype == "int8":
-            return "flash" if (seq_len == 1 and on_tpu and aligned) else "xla"
+            # divisibility gate mirrors the bf16 rule below: the flash decode
+            # kernel needs SOME block size in (2048..128) to divide the cache
+            # buffer; a buffer none divides (e.g. --context 5000) would raise
+            # at trace time in model.py, so route it to XLA instead
+            return "flash" if (seq_len == 1 and on_tpu and aligned
+                               and bucket % 128 == 0) else "xla"
         if seq_len > 1 and on_tpu and aligned:
             return "flash"
-        bucket = cache_len or self.seq_len
         if (seq_len == 1 and on_tpu and aligned
                 and bucket >= 4096 and bucket % 2048 == 0):
             # long-context bf16 decode: the stacked-cache flash kernel with
@@ -229,10 +234,18 @@ class InferenceEngine:
         step = jnp.zeros((1, 1), dtype=jnp.int32)
         for impl in candidates:
             cache = self.new_cache(1, cache_len)
-            logits, cache = self._fwd(self.model.params, self.model.cfg, step,
-                                      pos, cache, attn_impl=impl,
-                                      mesh=self.mesh)  # compile + warm
-            np.asarray(logits[0, 0, :1])
+            try:
+                logits, cache = self._fwd(self.model.params, self.model.cfg,
+                                          step, pos, cache, attn_impl=impl,
+                                          mesh=self.mesh)  # compile + warm
+                np.asarray(logits[0, 0, :1])
+            except Exception as e:
+                # a candidate that cannot trace/compile at this config (e.g.
+                # flash at a cache length no block size divides) is excluded,
+                # not fatal — the probe exists to pick among what RUNS
+                self.log("attn-impl probe: %r not viable at cache_len=%d (%s)",
+                         impl, cache_len, e)
+                continue
             best = float("inf")
             for _ in range(iters):
                 t0 = time.perf_counter()
@@ -242,6 +255,8 @@ class InferenceEngine:
                 np.asarray(logits[0, 0, :1])
                 best = min(best, time.perf_counter() - t0)
             timings[impl] = best
+        if not timings:   # defensive: xla always traces, but never crash here
+            timings = {"xla": 0.0}
         choice = min(timings, key=timings.get)
         self._probed_decode_impl[cache_len] = choice
         self._probe_timings = timings

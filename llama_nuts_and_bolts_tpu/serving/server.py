@@ -595,7 +595,8 @@ class LlamaHTTPServer:
                         self.wfile.write(payload + b"\r\n")
 
                     finish = None
-                    for item in gen:
+                    try:
+                      for item in gen:
                         if n_logprobs:
                             text, fin, entries = item
                         else:
@@ -626,11 +627,28 @@ class LlamaHTTPServer:
                             "model": server_self.model_name,
                             "choices": [choice]}))
                         finish = fin
-                    chunk("[DONE]")
-                    self.wfile.write(b"0\r\n\r\n")
-                    gen.close()   # early stop: cancel the batcher request
-                    server_self.count_request(
-                        gen_stats["tokens"], time.perf_counter() - t_start)
+                      chunk("[DONE]")
+                      self.wfile.write(b"0\r\n\r\n")
+                      gen.close()   # early stop: cancel the batcher request
+                      server_self.count_request(
+                          gen_stats["tokens"], time.perf_counter() - t_start)
+                    except Exception as e:
+                        # headers are already on the wire, so no 500 is
+                        # possible: emit a final SSE error chunk, terminate
+                        # the chunked body, and count the failure so
+                        # /metrics sees it (mirrors the non-stream branch)
+                        get_logger().error("stream generation failed: %s", e)
+                        try:
+                            chunk(json.dumps({"error": {
+                                "message": f"generation failed: {e}",
+                                "type": "server_error"}}))
+                            chunk("[DONE]")
+                            self.wfile.write(b"0\r\n\r\n")
+                        except OSError:
+                            pass   # client already gone
+                        gen.close()
+                        server_self.count_request(
+                            0, time.perf_counter() - t_start, failed=True)
                 elif True:
                   try:
                     lp_field = None

@@ -162,6 +162,39 @@ def test_cached_system_prompt_matches_uncached():
         srv_warm.shutdown()
 
 
+def test_stream_failure_emits_error_chunk_and_counts_failed():
+    """A generation failure mid-stream must terminate the chunked body with
+    an SSE error chunk + [DONE] and count as a failed request (round-4
+    advisor finding: previously the exception propagated out of the
+    handler, leaving the response unterminated and the failure uncounted
+    in /metrics)."""
+    srv = LlamaHTTPServer(make_engine(sequence_length=32), model_name="t")
+
+    def boom(*a, **k):
+        yield ("ok", None)
+        raise RuntimeError("device fell over")
+
+    srv.generate = boom
+    port = srv.start_background()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps({"prompt": "hi", "max_tokens": 4,
+                             "stream": True}).encode(),
+            method="POST", headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200          # headers were already sent
+            raw = resp.read().decode()         # must NOT hang / reset
+        events = [ln[6:] for ln in raw.split("\n") if ln.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        errs = [json.loads(e) for e in events[:-1] if "error" in e]
+        assert any("generation failed" in j["error"]["message"] for j in errs)
+        assert srv.metrics["requests_failed"] == 1
+        assert srv.metrics["requests_total"] == 1
+    finally:
+        srv.shutdown()
+
+
 # ----------------------------------------------------------- stop sequences
 
 def test_stop_sequence_truncates(server):

@@ -572,6 +572,41 @@ def test_forced_attn_impl_honored_for_int8_decode():
     assert eng2._attn_impl(16) == "xla"   # prefill fallback
 
 
+def test_int8_auto_rule_gates_on_bucket_divisibility(monkeypatch):
+    """--kv-cache int8 at a cache length no flash block size divides (e.g.
+    --context 5000) must route decode to XLA instead of raising at first
+    trace in model.py (round-4 advisor finding)."""
+    import types
+
+    import llama_nuts_and_bolts_tpu.runtime.engine as engine_mod
+
+    eng = make_engine(sequence_length=64, kv_cache_dtype="int8")
+    monkeypatch.setattr(engine_mod.jax, "devices",
+                        lambda: [types.SimpleNamespace(platform="tpu")])
+    monkeypatch.setattr(eng, "_kernels_viable", lambda: True)
+    assert eng._attn_impl(1, cache_len=5000) == "xla"   # 5000 % 128 != 0
+    assert eng._attn_impl(1, cache_len=4096) == "flash"
+
+
+def test_probe_excludes_candidates_that_fail_to_trace(monkeypatch):
+    """attn_impl='probe' must survive a candidate impl raising at
+    trace/compile time: the candidate is dropped, the survivor wins
+    (round-4 advisor finding — previously the exception escaped the
+    probe). Here the faked-TPU platform makes the Pallas flash candidate
+    fail to lower on the CPU backend."""
+    import types
+
+    import llama_nuts_and_bolts_tpu.runtime.engine as engine_mod
+
+    eng = make_engine(sequence_length=24, attn_impl="probe")
+    monkeypatch.setattr(engine_mod.jax, "devices",
+                        lambda: [types.SimpleNamespace(platform="tpu")])
+    monkeypatch.setattr(eng, "_kernels_viable", lambda: True)
+    choice = eng.autotune_attn_impl(iters=1)
+    assert choice == "xla"
+    assert eng._probed_decode_impl[24] == "xla"
+
+
 def test_chunk_executable_eviction_prefers_sampled():
     """Greedy chunk executables (one per cache bucket) must survive a
     client cycling distinct sampled (top_k, top_p) keys: when the cache
