@@ -164,9 +164,13 @@ def forward(
     H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
     T = cache.max_seq
     per_row = getattr(start_pos, "ndim", 0) == 1
-    if per_row and attn_impl != "xla" and not (attn_impl == "flash" and S == 1):
+    flashy = attn_impl in ("flash", "flash_folded")
+    if per_row and attn_impl != "xla" and not (flashy and S == 1):
         raise ValueError("vector start_pos requires attn_impl='xla' "
-                         "(or 'flash' at S=1)")
+                         "(or 'flash'/'flash_folded' at S=1)")
+    if attn_impl == "flash_folded" and S != 1:
+        raise ValueError("attn_impl='flash_folded' is the folded-heads "
+                         "DECODE kernel (S=1); use 'flash' for prefill")
     if attn_impl == "ring" and (mesh is None or S == 1):
         raise ValueError("attn_impl='ring' is the sequence-parallel PREFILL "
                          "path: needs a mesh with an sp axis and S > 1")
@@ -191,7 +195,7 @@ def forward(
         the flash kernel indexes the layer itself via a prefetch scalar —
         slicing the layer out first would make XLA materialize a full
         [B, KV, T, D] copy per step as the pallas operand."""
-        if attn_impl == "flash":
+        if flashy:
             # decode (S=1) prefers LARGE cache tiles: fewer grid steps mean
             # less per-tile fixed cost, and a [2048, 128] bf16 tile is only
             # 512 KB of VMEM — measured 0.174 (XLA) / 0.133 (bk512) / 0.096
@@ -217,7 +221,7 @@ def forward(
                     return tp_flash_decode_attention(
                         mesh, q, ck, cv, start_pos, k_scale=cks, v_scale=cvs,
                         block_k=block_k, layer=layer,
-                        fold_heads=quantized, int8_mxu=quantized)
+                        fold_heads=fold, int8_mxu=quantized)
                 return tp_flash_gqa_attention(mesh, q, ck, cv, start_pos,
                                               block_k=block_k)
             if S == 1:
@@ -228,11 +232,16 @@ def forward(
                 # int8 caches default to the folded-heads int8xint8-MXU
                 # kernel: per-position scales fold into the small score/
                 # prob matrices, so no tile is ever dequantized
-                # elementwise (measured +19.5% at B=4/8K, docs/07)
+                # elementwise (measured +19.5% at B=4/8K, docs/07).
+                # "flash_folded" opts a bf16 cache into the folded-heads
+                # variant too: one grid program per cache tile serves all
+                # KV heads, amortizing per-program fixed cost 8x — the
+                # same argument that won for int8, now selectable for
+                # batched bf16 decode (A/B in bench.py stage "kern").
                 return flash_decode_attention(q, ck, cv, start_pos,
                                               k_scale=cks, v_scale=cvs,
                                               block_k=block_k, layer=layer,
-                                              fold_heads=quantized,
+                                              fold_heads=fold,
                                               int8_mxu=quantized)
             from llama_nuts_and_bolts_tpu.kernels.attention import flash_gqa_attention
 
@@ -245,6 +254,7 @@ def forward(
         return gqa_attention(q, ck, cv, mask)
 
     quantized = cache.quantized
+    fold = quantized or attn_impl == "flash_folded"
     if quantized and attn_impl == "flash" and S != 1:
         raise ValueError(
             "int8 KV cache + flash is decode-only (S=1); use attn_impl='xla' "

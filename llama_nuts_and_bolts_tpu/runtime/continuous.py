@@ -206,6 +206,7 @@ class ContinuousBatcher:
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self.spec_stats = {"spec_steps": 0, "drafted": 0, "accepted": 0}
         self._lock = threading.Lock()
+        self._inflight = None   # pipelined plain step: (nxt_dev, lp_dev, poss_dev)
 
     # ------------------------------------------------------------- public
 
@@ -386,30 +387,82 @@ class ContinuousBatcher:
             if r is not None and r.cancelled:
                 self._release_slot(slot)
 
+    # ------------------------------------------------- pipelined plain step
+
+    def _dispatch_plain(self, toks, poss):
+        """One shared decode dispatch; returns device handles, no sync.
+
+        Host arrays are snapshotted (``.copy()``) before device_put: on the
+        CPU backend ``jnp.asarray`` can ALIAS the numpy buffer zero-copy,
+        and the pipelined step() mutates these arrays (release/admission
+        bookkeeping) while the dispatched step may still be executing —
+        without the copy that mutation races the in-flight compute."""
+        nxt, lp, self.cache = _decode_step(
+            self.engine.model.params, self.cfg, toks, poss, self.cache,
+            jnp.asarray(self._key.copy()), jnp.asarray(self._temp.copy()),
+            jnp.asarray(self._topk.copy()), jnp.asarray(self._topp.copy()),
+            attn_impl=self._decode_impl, mesh=self.engine.mesh)
+        return nxt, lp, poss
+
+    def _process_plain_results(self, nxt, lp) -> None:
+        """Host bookkeeping for one completed step (``nxt`` is on host)."""
+        for slot in range(self.n_slots):
+            active = self.slots[slot] is not None
+            self._pos[slot] = min(int(self._pos[slot]) + 1, self.seq_len - 1)
+            if active:
+                self._feed[slot] = int(nxt[slot])
+                self._record_logprobs(slot, int(nxt[slot]), lp, row=slot)
+                self._emit(slot, int(nxt[slot]))
+
+    def _flush_inflight(self) -> None:
+        if self._inflight is None:
+            return
+        nxt, lp, _poss = self._inflight
+        self._inflight = None
+        self._process_plain_results(np.asarray(nxt), lp)
+
     def step(self) -> None:
+        """Advance the world by one iteration — PIPELINED: one decode step
+        is kept in flight, and iteration N+1's dispatch uses iteration N's
+        output tokens ON DEVICE (the step's sampled tokens ARE the next feed;
+        positions advance by +1 on device), so the host fetch/delivery of
+        step N overlaps step N+1's execution. Through an RPC-attached device
+        this hides the full per-step round trip; locally it hides dispatch +
+        queue delivery. Slot occupancy must be stable while a step is in
+        flight — any cancellation or pending admission flushes the pipeline
+        first, so host state is current before slots change hands (a freed
+        slot re-admitted under a live in-flight step would misdeliver that
+        step's token to the new request). Delivered token streams are
+        IDENTICAL to the unpipelined scheduler: the device chain feeds the
+        same values the host round trip would have, and finished slots'
+        extra in-flight row is dropped at processing (same cache-staleness
+        argument as admission into a previously-used slot)."""
         if self.speculate_k:
             self._step_speculative()
             return
         with self._lock:
+            if self._inflight is not None and (
+                    not self.pending.empty()
+                    or any(r is not None and r.cancelled for r in self.slots)):
+                self._flush_inflight()
             self._sweep_cancelled()
             self._admit()
             if not any(r is not None for r in self.slots):
+                self._flush_inflight()   # drain a step whose rows all ended
                 return
-            toks = jnp.asarray(self._feed[:, None])
-            poss = jnp.asarray(self._pos)
-            nxt, lp, self.cache = _decode_step(
-                self.engine.model.params, self.cfg, toks, poss, self.cache,
-                jnp.asarray(self._key), jnp.asarray(self._temp),
-                jnp.asarray(self._topk), jnp.asarray(self._topp),
-                attn_impl=self._decode_impl, mesh=self.engine.mesh)
-            nxt = np.asarray(nxt)
-            for slot in range(self.n_slots):
-                active = self.slots[slot] is not None
-                self._pos[slot] = min(int(self._pos[slot]) + 1, self.seq_len - 1)
-                if active:
-                    self._feed[slot] = int(nxt[slot])
-                    self._record_logprobs(slot, int(nxt[slot]), lp, row=slot)
-                    self._emit(slot, int(nxt[slot]))
+            if self._inflight is None:
+                # .copy(): see _dispatch_plain — these numpy buffers mutate
+                # under later bookkeeping while this step is in flight
+                toks = jnp.asarray(self._feed[:, None].copy())
+                poss = jnp.asarray(self._pos.copy())
+                self._inflight = self._dispatch_plain(toks, poss)
+                return
+            p_nxt, p_lp, p_poss = self._inflight
+            toks = p_nxt[:, None]
+            poss = jnp.minimum(p_poss + 1, self.seq_len - 1)
+            self._inflight = self._dispatch_plain(toks, poss)
+            # fetch + deliver step N while step N+1 executes
+            self._process_plain_results(np.asarray(p_nxt), p_lp)
 
     def _step_speculative(self) -> None:
         """One speculative iteration: every slot's feed token plus up to K

@@ -214,6 +214,7 @@ class PagedBatcher(ContinuousBatcher):
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._stalled: deque[Request] = deque()   # admitted-order, pool-starved
         self._lock = threading.Lock()
+        self._inflight = None   # pipelined plain step: (nxt_dev, lp_dev, poss_dev)
 
     def submit(self, prompt_tokens, **kwargs):
         """Reject prompts the pool can NEVER hold — otherwise they would
@@ -356,6 +357,9 @@ class PagedBatcher(ContinuousBatcher):
         K = self.speculate_k
         bs = self.block_size
         with self._lock:
+            # the no-drafts fallback below pipelines plain steps; drafting
+            # and admission both need current host state, so drain first
+            self._flush_inflight()
             self._sweep_cancelled()
             self._admit()
             if not any(r is not None for r in self.slots):
@@ -388,6 +392,9 @@ class PagedBatcher(ContinuousBatcher):
                 # proposers must still see the emitted tokens or their
                 # n-gram windows never grow into matches.
                 self._plain_step_locked()
+                # the plain step pipelines (token still in flight): drain it
+                # so _feed holds the token the proposers must see
+                self._flush_inflight()
                 for slot in range(self.n_slots):
                     if (self.slots[slot] is not None
                             and self._proposers[slot] is not None):
@@ -422,44 +429,101 @@ class PagedBatcher(ContinuousBatcher):
                                    end_hook=end_hook)
 
     def step(self) -> None:
+        """Advance the paged world by one iteration — PIPELINED like the
+        dense scheduler (one decode step in flight; its host fetch overlaps
+        the next step's execution). The paged twist: block growth depends
+        only on POSITIONS, which the host tracks without fetching tokens, so
+        the next step's tables are grown at dispatch time and the pool-dry
+        force-finish flag computed there attaches to the in-flight step's
+        token at delivery. Any pending/stalled admission or cancellation
+        flushes the pipeline first (slot occupancy and block ownership must
+        be stable under a live step); a slot that finishes mid-flight may
+        have grown one speculative block, returned with the rest of its
+        blocks at release."""
         if self.speculate_k:
             self._step_speculative_paged()
             return
         with self._lock:
+            if self._inflight is not None and (
+                    not self.pending.empty() or self._stalled
+                    or any(r is not None and r.cancelled for r in self.slots)):
+                self._flush_inflight()
             self._sweep_cancelled()
             self._admit()
             if not any(r is not None for r in self.slots):
+                self._flush_inflight()
                 return
             self._plain_step_locked()
 
+    def _advance_and_grow_locked(self) -> List[bool]:
+        """Advance every slot position by one and back each active slot's
+        new write position with a block; returns per-slot pool-dry flags
+        (True ⇒ the token just computed at the old position must be that
+        request's last — the next write cannot be backed)."""
+        pos_cap = self.max_blocks * self.block_size - 1
+        force = [False] * self.n_slots
+        for slot in range(self.n_slots):
+            self._pos[slot] = min(int(self._pos[slot]) + 1, pos_cap)
+            if self.slots[slot] is None:
+                continue
+            bi = int(self._pos[slot]) // self.block_size
+            if bi >= len(self._slot_blocks[slot]) and bi < self.max_blocks:
+                grown = self.allocator.alloc(1)
+                if grown is None:
+                    force[slot] = True
+                else:
+                    self._slot_blocks[slot].extend(grown)
+                    self.tables[slot, bi] = grown[0]
+        return force
+
+    def _process_paged_results(self, nxt, lp, force: List[bool]) -> None:
+        """Deliver one completed step's tokens (positions were already
+        advanced by _advance_and_grow_locked when the NEXT step dispatched)."""
+        for slot in range(self.n_slots):
+            if self.slots[slot] is None:
+                continue
+            self._feed[slot] = int(nxt[slot])
+            self._record_logprobs(slot, int(nxt[slot]), lp, row=slot)
+            self._emit(slot, int(nxt[slot]), force_finish=force[slot])
+
+    def _flush_inflight(self) -> None:
+        if self._inflight is None:
+            return
+        nxt, lp, _poss = self._inflight
+        self._inflight = None
+        force = self._advance_and_grow_locked()
+        self._process_paged_results(np.asarray(nxt), lp, force)
+
+    def _dispatch_paged(self, toks, poss):
+        """Host arrays are snapshotted (``.copy()``) before device_put: on
+        the CPU backend ``jnp.asarray`` can ALIAS the numpy buffer
+        zero-copy, and the pipelined step() mutates tables/positions/keys
+        (growth, release, admission) while the dispatched step may still be
+        executing — without the copy that mutation races the compute."""
+        nxt, lp, self.pool = _decode_jit(
+            self.engine.model.params, self.cfg, toks, poss,
+            self.pool, jnp.asarray(self.tables.copy()), self.attn_impl,
+            jnp.asarray(self._key.copy()), jnp.asarray(self._temp.copy()),
+            jnp.asarray(self._topk.copy()), jnp.asarray(self._topp.copy()))
+        return nxt, lp, poss
+
     def _plain_step_locked(self) -> None:
-        """One plain decode step; caller holds the lock and has admitted."""
-        if True:
-            # invariant: every active slot's current write position is backed
-            nxt, lp, self.pool = _decode_jit(
-                self.engine.model.params, self.cfg,
-                jnp.asarray(self._feed[:, None]), jnp.asarray(self._pos),
-                self.pool, jnp.asarray(self.tables), self.attn_impl,
-                jnp.asarray(self._key), jnp.asarray(self._temp),
-                jnp.asarray(self._topk), jnp.asarray(self._topp))
-            nxt = np.asarray(nxt)
-            pos_cap = self.max_blocks * self.block_size - 1
-            for slot in range(self.n_slots):
-                active = self.slots[slot] is not None
-                self._pos[slot] = min(int(self._pos[slot]) + 1, pos_cap)
-                if not active:
-                    continue
-                self._feed[slot] = int(nxt[slot])
-                self._record_logprobs(slot, int(nxt[slot]), lp, row=slot)
-                # back the NEXT write position before emitting, so a pool-dry
-                # moment turns into a graceful finish after this token
-                force_finish = False
-                bi = int(self._pos[slot]) // self.block_size
-                if bi >= len(self._slot_blocks[slot]) and bi < self.max_blocks:
-                    grown = self.allocator.alloc(1)
-                    if grown is None:
-                        force_finish = True
-                    else:
-                        self._slot_blocks[slot].extend(grown)
-                        self.tables[slot, bi] = grown[0]
-                self._emit(slot, int(nxt[slot]), force_finish=force_finish)
+        """One pipelined plain decode iteration; caller holds the lock and
+        has admitted. Invariant: every active slot's current write position
+        is backed (admission backs plen; _advance_and_grow_locked backs each
+        +1 before the step that writes there dispatches)."""
+        pos_cap = self.max_blocks * self.block_size - 1
+        if self._inflight is None:
+            # .copy(): see _dispatch_paged — these numpy buffers mutate
+            # under later bookkeeping while this step is in flight
+            toks = jnp.asarray(self._feed[:, None].copy())
+            poss = jnp.asarray(self._pos.copy())
+            self._inflight = self._dispatch_paged(toks, poss)
+            return
+        p_nxt, p_lp, p_poss = self._inflight
+        force = self._advance_and_grow_locked()
+        toks = p_nxt[:, None]
+        poss = jnp.minimum(p_poss + 1, pos_cap)
+        self._inflight = self._dispatch_paged(toks, poss)
+        # fetch + deliver step N while step N+1 executes
+        self._process_paged_results(np.asarray(p_nxt), p_lp, force)

@@ -40,7 +40,21 @@ def test_bench_pipeline_tiny():
     # headline + the VERDICT-required TTFT/prefill sections made it through
     for key in ("device", "first_rpc_s", "ttft_cold_s",
                 "decode_tokens_per_s_1scan", "p50_ttft_512_s",
-                "prefill_512_tokens_per_s", "streamed_chunk8_tokens_per_s"):
+                "prefill_512_tokens_per_s", "streamed_chunk8_tokens_per_s",
+                # round-5 evidence sections: cache-adjusted roofline, real
+                # schedulers end-to-end, speculative, kernel A/Bs
+                "roofline_cache_adjusted_tokens_per_s",
+                "vs_adjusted_baseline",
+                "continuous_sched_b2_delivered_tokens_per_s",
+                "continuous_sched_b2_intertoken_p50_ms",
+                "continuous_sched_overhead_vs_rawscan",
+                "paged_sched_b2_delivered_tokens_per_s",
+                "speculative_plain_sync_tokens_per_s",
+                "speculative_ngram_k2_tokens_per_s",
+                "speculative_ngram_k2_acceptance",
+                "spec_verify_s5_vs_s1_step_cost",
+                "decode_b2_256_bf16kv_flash_folded_tokens_per_s",
+                "decode_b4_256_kvab_int8kv_flash_tokens_per_s"):
         assert key in detail, (key, sorted(detail))
 
 

@@ -131,6 +131,43 @@ def test_slot_reuse_after_finish():
     assert drain(r2) == seq_tokens([7, 8])
 
 
+def test_pipelined_step_keeps_one_step_in_flight():
+    """The plain scheduler keeps exactly one decode step in flight (its
+    fetch overlaps the next step's execution); a pending submission flushes
+    the pipeline BEFORE admission so a freed slot can never be re-admitted
+    under a live step."""
+    eng = make_engine(sequence_length=24)
+    cb = ContinuousBatcher(eng, n_slots=2)
+    r1 = cb.submit([1, 5, 9])
+    cb.step()
+    assert cb._inflight is not None          # one step stays in flight
+    r2 = cb.submit([7, 8])
+    cb.step()                                 # must flush, then admit r2
+    assert r2.slot is not None
+    cb.run_until_idle()
+    assert drain(r1) == seq_tokens([1, 5, 9])
+    assert drain(r2) == seq_tokens([7, 8])
+
+
+def test_cancel_mid_flight_with_pipeline():
+    """Cancelling while a step is in flight flushes first, frees the slot,
+    and the surviving neighbor's stream is untouched."""
+    eng = make_engine(sequence_length=24)
+    cb = ContinuousBatcher(eng, n_slots=2)
+    r1 = cb.submit([1, 5, 9])
+    r2 = cb.submit([7, 8])
+    for _ in range(3):
+        cb.step()
+    r2.cancel()
+    cb.run_until_idle()
+    assert drain(r1) == seq_tokens([1, 5, 9])
+    assert cb.slots == [None, None]
+    # the freed slot is reusable and clean
+    r3 = cb.submit([3, 3, 3, 3])
+    cb.run_until_idle()
+    assert drain(r3) == seq_tokens([3, 3, 3, 3])
+
+
 def test_max_new_tokens_cap():
     eng = make_engine(sequence_length=24)
     cb = ContinuousBatcher(eng, n_slots=1)

@@ -147,6 +147,42 @@ def test_flash_decode_vector_positions():
     np.testing.assert_allclose(got_q, ref_q, rtol=3e-2, atol=3e-2)
 
 
+def test_forward_flash_folded_bf16_decode_matches_xla():
+    """attn_impl='flash_folded' — the folded-heads decode kernel on a BF16
+    cache (one grid program per cache tile serves all KV heads) — must match
+    the XLA decode step's logits for scalar AND per-row positions, and
+    reject prefill shapes."""
+    import pytest
+
+    from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+    from llama_nuts_and_bolts_tpu.models.llama import forward, init_random_params
+    from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
+
+    cfg = ModelArgs(dim=64, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=96,
+                    multiple_of=32, max_sequence_length=64)
+    params = jax.jit(init_random_params, static_argnums=(0,))(
+        cfg, jax.random.PRNGKey(5))
+    toks = jnp.asarray([[7], [11], [3]], jnp.int32)
+
+    def seeded_cache():
+        c = KVCache.create(cfg, 3, 128)
+        full = jax.random.normal(jax.random.PRNGKey(9), c.k.shape,
+                                 jnp.float32).astype(jnp.bfloat16) * 0.1
+        return KVCache(k=full, v=full + 0.05)
+
+    for pos in (9, jnp.asarray([4, 9, 1], jnp.int32)):
+        ref, _ = forward(params, cfg, toks, pos, seeded_cache())
+        got, _ = forward(params, cfg, toks, pos, seeded_cache(),
+                         attn_impl="flash_folded")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-2, atol=5e-2)
+        np.testing.assert_array_equal(np.asarray(got).argmax(-1),
+                                      np.asarray(ref).argmax(-1))
+    with pytest.raises(ValueError, match="flash_folded"):
+        forward(params, cfg, jnp.ones((1, 8), jnp.int32), 0,
+                seeded_cache(), attn_impl="flash_folded")
+
+
 def test_forward_per_row_flash_matches_xla():
     """forward() with a vector start_pos and attn_impl='flash' (S=1): the
     continuous-batching decode step through the Pallas kernel must match the
