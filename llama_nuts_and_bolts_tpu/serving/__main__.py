@@ -51,6 +51,15 @@ def main(argv=None) -> int:
                    help="admit at most N concurrent generation requests; "
                         "excess get an immediate 429 + Retry-After "
                         "(0 = auto: 4x --continuous slots, else 8)")
+    p.add_argument("--no-prewarm", action="store_true",
+                   help="skip compiling the hot prefill/decode executables "
+                        "before the socket opens (prewarming costs one short "
+                        "request up front; without it the FIRST client pays "
+                        "the cold compile and may hit --token-timeout)")
+    p.add_argument("--token-timeout", type=float, default=120.0, metavar="S",
+                   help="max seconds to wait for one token from the batcher "
+                        "before failing the request cleanly (SSE error "
+                        "chunk / 500, counted in /metrics)")
     p.add_argument("--cache-system-prompt", default=None, metavar="TEXT",
                    help="prefill TEXT's system-prompt block once at startup "
                         "and snapshot its KV state; chat requests whose first "
@@ -130,7 +139,8 @@ def main(argv=None) -> int:
     serve(engine, args.host, args.port, name, continuous_slots=args.continuous,
           paged_blocks=args.paged_blocks,
           prefix_cache=not args.no_prefix_cache,
-          max_pending=args.max_pending)
+          max_pending=args.max_pending, prewarm=not args.no_prewarm,
+          token_timeout_s=args.token_timeout)
     return 0
 
 

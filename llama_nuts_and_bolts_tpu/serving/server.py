@@ -76,9 +76,17 @@ def apply_stop_sequences(gen, stops):
 class LlamaHTTPServer:
     def __init__(self, engine: InferenceEngine, model_name: str = "llama-3.1-8b-instruct",
                  continuous_slots: int = 0, paged_blocks: int = 0,
-                 prefix_cache: bool = True, max_pending: int = 0):
+                 prefix_cache: bool = True, max_pending: int = 0,
+                 token_timeout_s: float = 120.0):
         self.engine = engine
         self.model_name = model_name
+        # max wall-clock wait for ONE token from the batcher before the
+        # request is failed cleanly (SSE error chunk / 500, counted in
+        # /metrics — never an uncaught queue.Empty mid-response). A cold
+        # first-request compile on a tunneled TPU can exceed any fixed
+        # value: prewarm() compiles the hot executables BEFORE the socket
+        # opens so this timeout only ever guards genuine stalls.
+        self.token_timeout_s = token_timeout_s
         self._gen_lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
         # bounded admission: at most max_pending generation requests may be
@@ -136,7 +144,7 @@ class LlamaHTTPServer:
         if self.batcher is not None:
             req = self.batcher.submit(tokens, max_new_tokens=max_tokens)
             ids, finish = [], "length"
-            for state, tok in req.tokens(timeout=120):
+            for state, tok in req.tokens(timeout=self.token_timeout_s):
                 ids.append(tok)
                 if state == GenerationState.FINISHED_BY_REACHING_EOS:
                     finish = "stop"
@@ -177,7 +185,7 @@ class LlamaHTTPServer:
                                   top_p=top_p, seed=self._default_seed(seed),
                                   logprobs=n_logprobs)
         ids, finish = [], "length"
-        for state, tok in req.tokens(timeout=120):
+        for state, tok in req.tokens(timeout=self.token_timeout_s):
             ids.append(tok)
             if state == GenerationState.FINISHED_BY_REACHING_EOS:
                 finish = "stop"
@@ -255,7 +263,7 @@ class LlamaHTTPServer:
                         for i, v in tops[:n_logprobs]]}
 
         try:
-            for part in self.engine._generate_string(req.tokens(timeout=120)):
+            for part in self.engine._generate_string(req.tokens(timeout=self.token_timeout_s)):
                 stats["tokens"] = req.produced
                 if not part.is_resend_of_waiting:
                     # stop tokens never surface in content; skip their entry
@@ -295,7 +303,7 @@ class LlamaHTTPServer:
                                       top_p=top_p,
                                       seed=self._default_seed(seed))
             try:
-                for part in self.engine._generate_string(req.tokens(timeout=120)):
+                for part in self.engine._generate_string(req.tokens(timeout=self.token_timeout_s)):
                     stats["tokens"] = req.produced
                     if part.added_to_waiting:
                         continue
@@ -735,7 +743,40 @@ class LlamaHTTPServer:
 
         return Handler
 
-    def serve_forever(self, host: str = "127.0.0.1", port: int = 8000):
+    def prewarm(self) -> float:
+        """Compile the hot executables BEFORE the socket opens, at one short
+        request's cost: the batcher's common-bucket prefill + shared decode
+        step (or the serialized engine's block-decode program). Without
+        this, the FIRST client pays a cold compile that on a tunneled TPU
+        can exceed token_timeout_s and fail its request; with it, the
+        timeout only ever guards genuine mid-serving stalls. Returns the
+        warm-up's elapsed seconds (logged)."""
+        t0 = time.perf_counter()
+        tokens = [self.engine.model.vocab.bos_id, 1]
+        if self.batcher is not None:
+            req = self.batcher.submit(tokens, max_new_tokens=3)
+            # the batcher thread is already stepping; just drain (no timeout:
+            # a cold compile may take minutes and that is exactly the point)
+            for _state, _tok in req.tokens(timeout=None):
+                pass
+        else:
+            from llama_nuts_and_bolts_tpu.runtime.device_loop import (
+                generate_block,
+            )
+
+            with self._gen_lock:
+                # 16 = the OpenAI completions default max_tokens: the
+                # serialized block-decode program is shape-keyed on
+                # (cache bucket, max_new), so warm the commonest pair
+                generate_block(self.engine, tokens, 16)
+        dt = time.perf_counter() - t0
+        get_logger().info("prewarm: executables compiled in %.1fs", dt)
+        return dt
+
+    def serve_forever(self, host: str = "127.0.0.1", port: int = 8000,
+                      prewarm: bool = True):
+        if prewarm:
+            self.prewarm()
         self._httpd = _HTTPServer((host, port), self.make_handler())
         get_logger().info("Serving %s on http://%s:%d", self.model_name, host, port)
         self._httpd.serve_forever()
@@ -756,7 +797,10 @@ class LlamaHTTPServer:
 def serve(engine: InferenceEngine, host: str = "0.0.0.0", port: int = 8000,
           model_name: str = "llama-3.1-8b-instruct", continuous_slots: int = 0,
           paged_blocks: int = 0, prefix_cache: bool = True,
-          max_pending: int = 0):
+          max_pending: int = 0, prewarm: bool = True,
+          token_timeout_s: float = 120.0):
     LlamaHTTPServer(engine, model_name, continuous_slots=continuous_slots,
                     paged_blocks=paged_blocks, prefix_cache=prefix_cache,
-                    max_pending=max_pending).serve_forever(host, port)
+                    max_pending=max_pending,
+                    token_timeout_s=token_timeout_s).serve_forever(
+                        host, port, prewarm=prewarm)

@@ -195,6 +195,81 @@ def test_stream_failure_emits_error_chunk_and_counts_failed():
         srv.shutdown()
 
 
+def test_prewarm_then_immediate_concurrent_cold_start():
+    """prewarm() compiles the batcher's prefill + decode executables before
+    the socket opens; a burst of concurrent FIRST requests right after
+    startup must all succeed and match the serialized server (the cold-start
+    phase of the soak, in miniature)."""
+    import threading
+
+    srv_serial = LlamaHTTPServer(make_engine(sequence_length=32), model_name="t")
+    port_serial = srv_serial.start_background()
+    srv = LlamaHTTPServer(make_engine(sequence_length=32), model_name="t",
+                          continuous_slots=3)
+    dt = srv.prewarm()
+    assert dt >= 0.0
+    port = srv.start_background()
+    try:
+        prompts = ["hello world", "Hi", "hello hello"]
+        expected = {p: post(f"http://127.0.0.1:{port_serial}/v1/completions",
+                            {"prompt": p, "max_tokens": 8})[1]
+                    ["choices"][0]["text"] for p in prompts}
+        results, errors = {}, []
+
+        def fetch(p):
+            try:
+                _, body = post(f"http://127.0.0.1:{port}/v1/completions",
+                               {"prompt": p, "max_tokens": 8})
+                results[p] = body["choices"][0]["text"]
+            except Exception as exc:
+                errors.append((p, repr(exc)))
+
+        threads = [threading.Thread(target=fetch, args=(p,)) for p in prompts]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        assert results == expected
+    finally:
+        srv_serial.shutdown()
+        srv.shutdown()
+
+
+def test_token_timeout_stall_fails_cleanly():
+    """A batcher that stops delivering (stalled device / pathological
+    compile) must fail the request CLEANLY once token_timeout_s elapses:
+    non-stream -> 500 'generation failed'; stream -> SSE error chunk +
+    [DONE]; both counted as failed in /metrics (round-4 verdict item 6)."""
+    import time as _time
+
+    srv = LlamaHTTPServer(make_engine(sequence_length=32), model_name="t",
+                          continuous_slots=2, token_timeout_s=0.5)
+    srv.batcher.step = lambda: _time.sleep(0.05)   # wedge the scheduler
+    port = srv.start_background()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(f"http://127.0.0.1:{port}/v1/completions",
+                 {"prompt": "hi", "max_tokens": 4})
+        assert e.value.code == 500
+        assert "generation failed" in json.loads(
+            e.value.read())["error"]["message"]
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps({"prompt": "hi", "max_tokens": 4,
+                             "stream": True}).encode(),
+            method="POST", headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            raw = resp.read().decode()
+        events = [ln[6:] for ln in raw.split("\n") if ln.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        assert any("generation failed" in e for e in events)
+        assert srv.metrics["requests_failed"] == 2
+    finally:
+        srv.shutdown()
+
+
 # ----------------------------------------------------------- stop sequences
 
 def test_stop_sequence_truncates(server):
