@@ -1062,11 +1062,16 @@ def stage_sched(w: StageWriter) -> None:
                                    warm_c, attn_impl="xla")
                 np.asarray(logits[0, 0, :1])
                 del warm_c
-            t0 = time.perf_counter()
-            toks = list(e.generate_tokens(spec_prompt,
-                                          max_new_tokens=spec_new))
-            dt = time.perf_counter() - t0
-            return len(toks) / dt, getattr(e, "spec_stats", None)
+            best = None
+            for _ in range(2):   # best-of-2: shed transient tunnel stalls
+                t0 = time.perf_counter()
+                toks = list(e.generate_tokens(spec_prompt,
+                                              max_new_tokens=spec_new))
+                dt = time.perf_counter() - t0
+                rate = len(toks) / dt
+                if best is None or rate > best[0]:
+                    best = (rate, getattr(e, "spec_stats", None))
+            return best
 
         w.mark("speculative: plain per-token baseline")
         plain_rate, _ = timed_generate(decode_chunk=1)

@@ -164,6 +164,11 @@ class ContinuousBatcher:
     dispatch per admission plus one per step.
     """
 
+    # plain decode steps kept in flight (see step()): 2 hides a result
+    # fetch's full round trip behind two steps of device execution — the
+    # operative bound on RPC-attached TPUs, where a fetch costs ~30 ms
+    PIPELINE_DEPTH = 2
+
     def __init__(self, engine, n_slots: int = 8, speculate_k: int = 0):
         self.engine = engine
         self.cfg = engine.model.cfg
@@ -206,7 +211,8 @@ class ContinuousBatcher:
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self.spec_stats = {"spec_steps": 0, "drafted": 0, "accepted": 0}
         self._lock = threading.Lock()
-        self._inflight = None   # pipelined plain step: (nxt_dev, lp_dev, poss_dev)
+        # pipelined plain steps in flight, oldest first: [(nxt, lp, poss)]
+        self._inflight: list = []
 
     # ------------------------------------------------------------- public
 
@@ -351,17 +357,24 @@ class ContinuousBatcher:
             (tok, float(np.asarray(chosen)),
              [(int(i), float(v)) for i, v in zip(ids[:n], vals[:n])]))
 
-    def _emit(self, slot: int, tok: int, force_finish: bool = False) -> None:
+    def _emit(self, slot: int, tok: int, force_finish: bool = False,
+              pos: Optional[int] = None) -> None:
         """Classify + deliver one generated token for the request in ``slot``
         (same stop rules as the sequential engine loop). ``force_finish``
         ends the request after this token even if no stop rule fired (the
-        paged batcher uses it when the block pool is exhausted)."""
+        paged batcher uses it when the block pool is exhausted). ``pos`` is
+        the emitted token's position when it differs from the LIVE
+        ``self._pos`` — the pipelined paged scheduler advances positions at
+        dispatch time, so at delivery time the live value is up to
+        PIPELINE_DEPTH steps ahead of the token being classified."""
         req = self.slots[slot]
         req.produced += 1
+        if pos is None:
+            pos = int(self._pos[slot])
         state = GenerationState.IN_PROGRESS
         if self.vocab.is_stop(tok):
             state = GenerationState.FINISHED_BY_REACHING_EOS
-        elif int(self._pos[slot]) + 1 >= self.seq_len:
+        elif pos + 1 >= self.seq_len:
             state = GenerationState.FINISHED_BY_REACHING_SEQ_LEN
         elif req.produced >= req.max_new_tokens:
             state = GenerationState.FINISHED_BY_REACHING_SEQ_LEN
@@ -415,54 +428,66 @@ class ContinuousBatcher:
                 self._emit(slot, int(nxt[slot]))
 
     def _flush_inflight(self) -> None:
-        if self._inflight is None:
-            return
-        nxt, lp, _poss = self._inflight
-        self._inflight = None
-        self._process_plain_results(np.asarray(nxt), lp)
+        while self._inflight:
+            nxt, lp, _poss = self._inflight.pop(0)
+            self._process_plain_results(np.asarray(nxt), lp)
 
     def step(self) -> None:
-        """Advance the world by one iteration — PIPELINED: one decode step
-        is kept in flight, and iteration N+1's dispatch uses iteration N's
-        output tokens ON DEVICE (the step's sampled tokens ARE the next feed;
-        positions advance by +1 on device), so the host fetch/delivery of
-        step N overlaps step N+1's execution. Through an RPC-attached device
-        this hides the full per-step round trip; locally it hides dispatch +
-        queue delivery. Slot occupancy must be stable while a step is in
-        flight — any cancellation or pending admission flushes the pipeline
-        first, so host state is current before slots change hands (a freed
-        slot re-admitted under a live in-flight step would misdeliver that
-        step's token to the new request). Delivered token streams are
-        IDENTICAL to the unpipelined scheduler: the device chain feeds the
-        same values the host round trip would have, and finished slots'
-        extra in-flight row is dropped at processing (same cache-staleness
-        argument as admission into a previously-used slot)."""
+        """Advance the world by one iteration — PIPELINED: up to
+        ``PIPELINE_DEPTH`` decode steps stay in flight, and iteration N+1's
+        dispatch uses iteration N's output tokens ON DEVICE (the step's
+        sampled tokens ARE the next feed; positions advance by +1 on
+        device), so the host fetch/delivery of a step overlaps the NEXT
+        steps' device execution. Depth matters on an RPC-attached device:
+        a result fetch costs a full round trip (~30 ms through a tunnel),
+        and with depth d the fetch of step N overlaps steps N+1..N+d —
+        depth 1 caps throughput at one token per round trip even when the
+        device step is faster (measured: b4 sched 85 vs 217 tok/s raw at
+        depth 1 on a tunneled v5e). Results also start copying host-ward
+        right at dispatch (copy_to_host_async), so the eventual np.asarray
+        usually finds the bytes already local. Slot occupancy must be
+        stable while steps are in flight — any cancellation or pending
+        admission flushes the pipeline first, so host state is current
+        before slots change hands (a freed slot re-admitted under a live
+        in-flight step would misdeliver that step's token to the new
+        request). Delivered token streams are IDENTICAL to the unpipelined
+        scheduler: the device chain feeds the same values the host round
+        trip would have, and finished slots' extra in-flight rows are
+        dropped at processing (same cache-staleness argument as admission
+        into a previously-used slot)."""
         if self.speculate_k:
             self._step_speculative()
             return
         with self._lock:
-            if self._inflight is not None and (
+            if self._inflight and (
                     not self.pending.empty()
                     or any(r is not None and r.cancelled for r in self.slots)):
                 self._flush_inflight()
             self._sweep_cancelled()
             self._admit()
             if not any(r is not None for r in self.slots):
-                self._flush_inflight()   # drain a step whose rows all ended
+                self._flush_inflight()   # drain steps whose rows all ended
                 return
-            if self._inflight is None:
+            if not self._inflight:
                 # .copy(): see _dispatch_plain — these numpy buffers mutate
                 # under later bookkeeping while this step is in flight
                 toks = jnp.asarray(self._feed[:, None].copy())
                 poss = jnp.asarray(self._pos.copy())
-                self._inflight = self._dispatch_plain(toks, poss)
-                return
-            p_nxt, p_lp, p_poss = self._inflight
-            toks = p_nxt[:, None]
-            poss = jnp.minimum(p_poss + 1, self.seq_len - 1)
-            self._inflight = self._dispatch_plain(toks, poss)
-            # fetch + deliver step N while step N+1 executes
-            self._process_plain_results(np.asarray(p_nxt), p_lp)
+            else:
+                p_nxt, _p_lp, p_poss = self._inflight[-1]
+                toks = p_nxt[:, None]
+                poss = jnp.minimum(p_poss + 1, self.seq_len - 1)
+            entry = self._dispatch_plain(toks, poss)
+            try:
+                # queue the device->host copy now (ordered after the step);
+                # by processing time the bytes are usually already local
+                entry[0].copy_to_host_async()
+            except AttributeError:
+                pass
+            self._inflight.append(entry)
+            if len(self._inflight) > self.PIPELINE_DEPTH:
+                nxt, lp, _poss = self._inflight.pop(0)
+                self._process_plain_results(np.asarray(nxt), lp)
 
     def _step_speculative(self) -> None:
         """One speculative iteration: every slot's feed token plus up to K

@@ -214,7 +214,11 @@ class PagedBatcher(ContinuousBatcher):
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._stalled: deque[Request] = deque()   # admitted-order, pool-starved
         self._lock = threading.Lock()
-        self._inflight = None   # pipelined plain step: (nxt_dev, lp_dev, poss_dev)
+        # pipelined plain steps in flight, oldest first; each entry is
+        # [nxt_dev, lp_dev, poss_dev, force_flags|None] — the pool-dry
+        # flags for a step are computed when the NEXT step's positions
+        # advance (block growth is position-driven, token-independent)
+        self._inflight: list = []
 
     def submit(self, prompt_tokens, **kwargs):
         """Reject prompts the pool can NEVER hold — otherwise they would
@@ -444,7 +448,7 @@ class PagedBatcher(ContinuousBatcher):
             self._step_speculative_paged()
             return
         with self._lock:
-            if self._inflight is not None and (
+            if self._inflight and (
                     not self.pending.empty() or self._stalled
                     or any(r is not None and r.cancelled for r in self.slots)):
                 self._flush_inflight()
@@ -476,23 +480,27 @@ class PagedBatcher(ContinuousBatcher):
                     self.tables[slot, bi] = grown[0]
         return force
 
-    def _process_paged_results(self, nxt, lp, force: List[bool]) -> None:
-        """Deliver one completed step's tokens (positions were already
-        advanced by _advance_and_grow_locked when the NEXT step dispatched)."""
+    def _process_paged_results(self, nxt, lp, force: List[bool],
+                               emit_pos) -> None:
+        """Deliver one completed step's tokens. ``emit_pos`` is the position
+        snapshot taken when THIS step's positions advanced — the live
+        ``self._pos`` is up to PIPELINE_DEPTH steps ahead by delivery time,
+        so the seq-cap classification must use the snapshot."""
         for slot in range(self.n_slots):
             if self.slots[slot] is None:
                 continue
             self._feed[slot] = int(nxt[slot])
             self._record_logprobs(slot, int(nxt[slot]), lp, row=slot)
-            self._emit(slot, int(nxt[slot]), force_finish=force[slot])
+            self._emit(slot, int(nxt[slot]), force_finish=force[slot],
+                       pos=int(emit_pos[slot]))
 
     def _flush_inflight(self) -> None:
-        if self._inflight is None:
-            return
-        nxt, lp, _poss = self._inflight
-        self._inflight = None
-        force = self._advance_and_grow_locked()
-        self._process_paged_results(np.asarray(nxt), lp, force)
+        while self._inflight:
+            nxt, lp, _poss, force, emit_pos = self._inflight.pop(0)
+            if force is None:
+                force = self._advance_and_grow_locked()
+                emit_pos = self._pos.copy()
+            self._process_paged_results(np.asarray(nxt), lp, force, emit_pos)
 
     def _dispatch_paged(self, toks, poss):
         """Host arrays are snapshotted (``.copy()``) before device_put: on
@@ -505,25 +513,33 @@ class PagedBatcher(ContinuousBatcher):
             self.pool, jnp.asarray(self.tables.copy()), self.attn_impl,
             jnp.asarray(self._key.copy()), jnp.asarray(self._temp.copy()),
             jnp.asarray(self._topk.copy()), jnp.asarray(self._topp.copy()))
-        return nxt, lp, poss
+        try:
+            nxt.copy_to_host_async()   # bytes land before the later fetch
+        except AttributeError:
+            pass
+        return [nxt, lp, poss, None, None]
 
     def _plain_step_locked(self) -> None:
-        """One pipelined plain decode iteration; caller holds the lock and
-        has admitted. Invariant: every active slot's current write position
-        is backed (admission backs plen; _advance_and_grow_locked backs each
-        +1 before the step that writes there dispatches)."""
+        """One pipelined plain decode iteration (depth PIPELINE_DEPTH — see
+        ContinuousBatcher.step for why depth > 1 matters on RPC-attached
+        devices); caller holds the lock and has admitted. Invariant: every
+        active slot's current write position is backed (admission backs
+        plen; _advance_and_grow_locked backs each +1 before the step that
+        writes there dispatches, and its pool-dry flags are stamped onto
+        the step whose token they gate)."""
         pos_cap = self.max_blocks * self.block_size - 1
-        if self._inflight is None:
+        if not self._inflight:
             # .copy(): see _dispatch_paged — these numpy buffers mutate
             # under later bookkeeping while this step is in flight
             toks = jnp.asarray(self._feed[:, None].copy())
             poss = jnp.asarray(self._pos.copy())
-            self._inflight = self._dispatch_paged(toks, poss)
-            return
-        p_nxt, p_lp, p_poss = self._inflight
-        force = self._advance_and_grow_locked()
-        toks = p_nxt[:, None]
-        poss = jnp.minimum(p_poss + 1, pos_cap)
-        self._inflight = self._dispatch_paged(toks, poss)
-        # fetch + deliver step N while step N+1 executes
-        self._process_paged_results(np.asarray(p_nxt), p_lp, force)
+        else:
+            last = self._inflight[-1]
+            last[3] = self._advance_and_grow_locked()
+            last[4] = self._pos.copy()   # the just-advanced positions are
+            toks = last[0][:, None]      # THAT step's emit positions
+            poss = jnp.minimum(last[2] + 1, pos_cap)
+        self._inflight.append(self._dispatch_paged(toks, poss))
+        if len(self._inflight) > self.PIPELINE_DEPTH:
+            nxt, lp, _poss, force, emit_pos = self._inflight.pop(0)
+            self._process_paged_results(np.asarray(nxt), lp, force, emit_pos)

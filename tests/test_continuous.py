@@ -140,7 +140,10 @@ def test_pipelined_step_keeps_one_step_in_flight():
     cb = ContinuousBatcher(eng, n_slots=2)
     r1 = cb.submit([1, 5, 9])
     cb.step()
-    assert cb._inflight is not None          # one step stays in flight
+    assert len(cb._inflight) == 1            # steps stay in flight...
+    cb.step()
+    cb.step()
+    assert len(cb._inflight) == cb.PIPELINE_DEPTH   # ...up to the depth cap
     r2 = cb.submit([7, 8])
     cb.step()                                 # must flush, then admit r2
     assert r2.slot is not None
