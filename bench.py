@@ -1098,20 +1098,23 @@ def stage_sched(w: StageWriter) -> None:
         def steps_cost(S, iters=32):
             tok = jnp.ones((1, S), jnp.int32)
 
-            def body(cache, _):
-                logits, cache = forward(params, cfg, tok, CTX // 2, cache,
-                                        attn_impl="xla")
-                return cache, logits[0, -1, 0]
+            def run(params, cache):
+                # params MUST be a jit argument: closing over them embeds
+                # 10+ GB of weights as constants in the remote compile
+                # request (HTTP 413 through the tunnel)
+                def body(cache, _):
+                    logits, cache = forward(params, cfg, tok, CTX // 2,
+                                            cache, attn_impl="xla")
+                    return cache, logits[0, -1, 0]
 
-            def run(cache):
                 return lax.scan(body, cache, None, length=iters)
 
-            rjit = jax.jit(run, donate_argnums=(0,))
-            _, out = rjit(KVCache.create(cfg, 1, CTX))
+            rjit = jax.jit(run, donate_argnums=(1,))
+            _, out = rjit(params, KVCache.create(cfg, 1, CTX))
             sync(out)  # compile
             c = KVCache.create(cfg, 1, CTX)
             t0 = time.perf_counter()
-            _, out = rjit(c)
+            _, out = rjit(params, c)
             sync(out)
             return (time.perf_counter() - t0) / iters
 
