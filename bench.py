@@ -983,6 +983,7 @@ def stage_sched(w: StageWriter) -> None:
     try:
         w.mark("continuous scheduler (compiles prefill-16 + decode step)")
         cb = ContinuousBatcher(engine, n_slots=SLOTS)
+        w.section("sched_step_quantum", cb.step_quantum)
         warm(cb)
         rate_cont = drive(cb, f"continuous_sched_b{SLOTS}")
         del cb

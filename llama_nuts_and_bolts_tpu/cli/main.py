@@ -75,8 +75,10 @@ def parse_args(argv=None):
                    help="weight-only quantization (int8/int4 fit full 8B on one v5e chip; "
                         "int4 roughly doubles int8's decode roofline)")
     p.add_argument("--kv-cache", choices=["bf16", "int8"], default="bf16",
-                   help="KV cache dtype (int8 halves cache traffic and "
-                        "doubles the context that fits)")
+                   help="KV cache dtype. int8 halves cache BYTES = 2x the "
+                        "context that fits; measured ~3-7%% slower than "
+                        "bf16 at small batch — pick it to fit, not to "
+                        "speed up")
     p.add_argument("--draft-model", default=None, metavar="DIR",
                    help="with --speculate: directory of a smaller Llama "
                         "checkpoint used as the speculation draft model "

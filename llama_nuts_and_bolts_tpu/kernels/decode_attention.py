@@ -8,7 +8,11 @@ step, making int8 SLOWER than bf16 (measured 40 vs 46 tok/s at 8K); (2) the
 separate QKᵀ/softmax/PV ops bounce [1, T] intermediates. This kernel streams
 each KV head's cache through VMEM once, dequantizing int8 tiles in-register,
 with a flash-style online softmax — cache bytes are the only HBM traffic, so
-an int8 cache genuinely halves it.
+an int8 cache halves the CACHE read. Honesty note (measured, docs/08): at
+small batch the cache is a minority of step traffic (weights dominate) and
+the quant math costs a few percent, so int8 KV decodes ~3-7% SLOWER than
+bf16 through this kernel at b<=4/8K; its real, measured value is CAPACITY —
+2x the context x batch per chip. Pick int8 KV to fit, not to speed up.
 
 Grid: (batch, kv_head). Each program owns the G = H/KV query rows that share
 its KV head (folded into the MXU row dim — GQA never materializes repeat-KV,

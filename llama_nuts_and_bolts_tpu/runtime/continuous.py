@@ -83,22 +83,40 @@ def _prefill_slot(params, cfg, tokens, logits_at, cache: KVCache, slot,
     return tok[0], (lp[0][0], lp[1][0], lp[2][0]), cache
 
 
-@functools.partial(jax.jit, static_argnums=(1,),
+@functools.partial(jax.jit, static_argnums=(1, 5),
                    static_argnames=("attn_impl", "mesh"), donate_argnums=(4,))
-def _decode_step(params, cfg, tokens, positions, cache: KVCache,
+def _decode_scan(params, cfg, tokens, positions, cache: KVCache, k,
                  keys, temps, top_ks, top_ps, attn_impl="xla", mesh=None):
-    """One shared decode step: tokens [B,1] at per-row ``positions`` [B];
-    each row greedy or sampled per its own traced parameters.
-    ``attn_impl="flash"`` streams each row's cache up to its own position
-    through the Pallas decode kernel — the path that makes an int8 KV cache
-    pay under continuous batching (the XLA path materializes the
-    dequantized bf16 cache every step)."""
-    logits, cache = forward(params, cfg, tokens, positions, cache,
-                            attn_impl=attn_impl, mesh=mesh)
-    toks = sample_tokens_batched(logits[:, -1], keys, positions,
-                                 temps, top_ks, top_ps)
-    lp = top_logprobs_batched(logits[:, -1], toks, LOGPROBS_K)
-    return toks, lp, cache
+    """``k`` chained decode steps in ONE dispatch — the scheduler QUANTUM.
+
+    Each scheduler iteration through an RPC-attached device pays a fixed
+    host cost (dispatch + device_puts + the result round trip, ~30-45 ms
+    through a tunnel) that dwarfs the ~18 ms device step; a quantum of k
+    amortizes it k-ways by running the per-step program in an on-device
+    ``lax.scan`` (per-row positions advance inside; each step samples with
+    ``fold_in(key, position)`` exactly like the single-step path, so
+    delivered tokens are identical). Admission/stop granularity becomes k
+    tokens: tokens generated past a row's stop are dropped at delivery and
+    their cache writes are invisible (the standard staleness argument), and
+    a pending request waits at most one quantum for its slot. Returns the
+    per-step tokens [k, B], per-step logprob info, the final carry token
+    [B, 1] / positions [B] (device-resident, chaining the next dispatch
+    with zero host round trips), and the cache."""
+    pos_cap = cache.max_seq - 1
+
+    def body(carry, _):
+        toks, poss, cache = carry
+        logits, cache = forward(params, cfg, toks, poss, cache,
+                                attn_impl=attn_impl, mesh=mesh)
+        nxt = sample_tokens_batched(logits[:, -1], keys, poss,
+                                    temps, top_ks, top_ps)
+        lp = top_logprobs_batched(logits[:, -1], nxt, LOGPROBS_K)
+        nposs = jnp.minimum(poss + 1, pos_cap)
+        return (nxt[:, None], nposs, cache), (nxt, lp)
+
+    (toks, poss, cache), (all_toks, all_lp) = lax.scan(
+        body, (tokens, positions, cache), None, length=k)
+    return all_toks, all_lp, toks, poss, cache
 
 
 @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))
@@ -169,13 +187,20 @@ class ContinuousBatcher:
     # operative bound on RPC-attached TPUs, where a fetch costs ~30 ms
     PIPELINE_DEPTH = 2
 
-    def __init__(self, engine, n_slots: int = 8, speculate_k: int = 0):
+    def __init__(self, engine, n_slots: int = 8, speculate_k: int = 0,
+                 step_quantum: Optional[int] = None):
         self.engine = engine
         self.cfg = engine.model.cfg
         self.vocab = engine.model.vocab
         self.n_slots = n_slots
         self.seq_len = engine.seq_len
         self.speculate_k = speculate_k
+        # scheduler quantum: decode steps per dispatch (see _decode_scan).
+        # None = auto: 8 on RPC-attached devices (each dispatch costs a
+        # network round trip), 1 host-attached (per-step admission/latency)
+        if step_quantum is None:
+            step_quantum = 8 if jax.devices()[0].platform == "axon" else 1
+        self.step_quantum = max(1, int(step_quantum))
         if speculate_k:
             # cache rows [seq_len, seq_len + K): draft rows past the cap may
             # be written (then masked/overwritten) — never clamp a
@@ -403,19 +428,25 @@ class ContinuousBatcher:
     # ------------------------------------------------- pipelined plain step
 
     def _dispatch_plain(self, toks, poss):
-        """One shared decode dispatch; returns device handles, no sync.
+        """One quantum dispatch (``step_quantum`` chained decode steps in a
+        single on-device scan); returns device handles, no sync.
 
         Host arrays are snapshotted (``.copy()``) before device_put: on the
         CPU backend ``jnp.asarray`` can ALIAS the numpy buffer zero-copy,
         and the pipelined step() mutates these arrays (release/admission
         bookkeeping) while the dispatched step may still be executing —
         without the copy that mutation races the in-flight compute."""
-        nxt, lp, self.cache = _decode_step(
+        all_toks, all_lp, fin_tok, fin_poss, self.cache = _decode_scan(
             self.engine.model.params, self.cfg, toks, poss, self.cache,
+            self.step_quantum,
             jnp.asarray(self._key.copy()), jnp.asarray(self._temp.copy()),
             jnp.asarray(self._topk.copy()), jnp.asarray(self._topp.copy()),
             attn_impl=self._decode_impl, mesh=self.engine.mesh)
-        return nxt, lp, poss
+        try:
+            all_toks.copy_to_host_async()   # stream back before the fetch
+        except AttributeError:
+            pass
+        return all_toks, all_lp, fin_tok, fin_poss
 
     def _process_plain_results(self, nxt, lp) -> None:
         """Host bookkeeping for one completed step (``nxt`` is on host)."""
@@ -427,10 +458,19 @@ class ContinuousBatcher:
                 self._record_logprobs(slot, int(nxt[slot]), lp, row=slot)
                 self._emit(slot, int(nxt[slot]))
 
+    def _process_quantum(self, all_toks, all_lp) -> None:
+        """Deliver one completed quantum: k per-step token rows, in order.
+        A row whose request finished at step j has its later tokens DROPPED
+        (its slot is already None when they replay) — their cache writes
+        are invisible until the slot's next occupant overwrites them."""
+        for j in range(all_toks.shape[0]):
+            self._process_plain_results(
+                all_toks[j], (all_lp[0][j], all_lp[1][j], all_lp[2][j]))
+
     def _flush_inflight(self) -> None:
         while self._inflight:
-            nxt, lp, _poss = self._inflight.pop(0)
-            self._process_plain_results(np.asarray(nxt), lp)
+            all_toks, all_lp, _t, _p = self._inflight.pop(0)
+            self._process_quantum(np.asarray(all_toks), all_lp)
 
     def step(self) -> None:
         """Advance the world by one iteration — PIPELINED: up to
@@ -474,20 +514,14 @@ class ContinuousBatcher:
                 toks = jnp.asarray(self._feed[:, None].copy())
                 poss = jnp.asarray(self._pos.copy())
             else:
-                p_nxt, _p_lp, p_poss = self._inflight[-1]
-                toks = p_nxt[:, None]
-                poss = jnp.minimum(p_poss + 1, self.seq_len - 1)
-            entry = self._dispatch_plain(toks, poss)
-            try:
-                # queue the device->host copy now (ordered after the step);
-                # by processing time the bytes are usually already local
-                entry[0].copy_to_host_async()
-            except AttributeError:
-                pass
-            self._inflight.append(entry)
+                # chain from the previous quantum's FINAL carry — both are
+                # device-resident and shape-ready, so the dispatch needs
+                # zero host round trips and zero eager device ops
+                _a, _l, toks, poss = self._inflight[-1]
+            self._inflight.append(self._dispatch_plain(toks, poss))
             if len(self._inflight) > self.PIPELINE_DEPTH:
-                nxt, lp, _poss = self._inflight.pop(0)
-                self._process_plain_results(np.asarray(nxt), lp)
+                all_toks, all_lp, _t, _p = self._inflight.pop(0)
+                self._process_quantum(np.asarray(all_toks), all_lp)
 
     def _step_speculative(self) -> None:
         """One speculative iteration: every slot's feed token plus up to K

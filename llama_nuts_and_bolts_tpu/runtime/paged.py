@@ -41,6 +41,7 @@ from typing import List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from llama_nuts_and_bolts_tpu.models.llama.paged import (
     DEFAULT_BLOCK_SIZE,
@@ -116,14 +117,30 @@ def _prefill_shared_jit(params, cfg, tokens, shared_len, logits_at, pool,
     return tok[0], (lp[0][0], lp[1][0], lp[2][0]), pool
 
 
-@functools.partial(jax.jit, static_argnums=(1, 6), donate_argnums=(4,))
-def _decode_jit(params, cfg, tokens, positions, pool, tables, attn_impl,
-                keys, temps, top_ks, top_ps):
-    logits, pool = paged_decode_step(params, cfg, tokens, positions, pool,
-                                     tables, attn_impl=attn_impl)
-    toks = sample_tokens_batched(logits, keys, positions, temps, top_ks, top_ps)
-    lp = top_logprobs_batched(logits, toks, LOGPROBS_K)
-    return toks, lp, pool
+@functools.partial(jax.jit, static_argnums=(1, 5, 6), donate_argnums=(4,))
+def _decode_scan_jit(params, cfg, tokens, positions, pool, k, attn_impl,
+                     tables, keys, temps, top_ks, top_ps):
+    """``k`` chained paged decode steps in ONE dispatch — the paged
+    scheduler quantum (see continuous._decode_scan for the rationale).
+    ``tables`` is fixed for the whole quantum: the scheduler backs every
+    position the quantum will write BEFORE dispatching; a row whose pool
+    ran dry mid-quantum writes its tail to the trash block (block 0) and
+    the host drops those tokens at delivery."""
+    bs = pool.k.shape[3]
+    pos_cap = tables.shape[1] * bs - 1
+
+    def body(carry, _):
+        toks, poss, pool = carry
+        logits, pool = paged_decode_step(params, cfg, toks, poss, pool,
+                                         tables, attn_impl=attn_impl)
+        nxt = sample_tokens_batched(logits, keys, poss, temps, top_ks, top_ps)
+        lp = top_logprobs_batched(logits, nxt, LOGPROBS_K)
+        nposs = jnp.minimum(poss + 1, pos_cap)
+        return (nxt[:, None], nposs, pool), (nxt, lp)
+
+    (toks, poss, pool), (all_toks, all_lp) = lax.scan(
+        body, (tokens, positions, pool), None, length=k)
+    return all_toks, all_lp, toks, poss, pool
 
 
 @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))
@@ -155,9 +172,15 @@ class PagedBatcher(ContinuousBatcher):
                  attn_impl: Optional[str] = None,
                  prefix_cache: bool = True,
                  allocator_backend: str = "auto",
-                 speculate_k: int = 0) -> None:
+                 speculate_k: int = 0,
+                 step_quantum: Optional[int] = None) -> None:
         import threading
 
+        # scheduler quantum (see ContinuousBatcher): decode steps per
+        # dispatch; None = auto (8 on RPC-attached devices, 1 local)
+        if step_quantum is None:
+            step_quantum = 8 if jax.devices()[0].platform == "axon" else 1
+        self.step_quantum = max(1, int(step_quantum))
         self.engine = engine
         self.cfg = engine.model.cfg
         self.vocab = engine.model.vocab
@@ -459,75 +482,81 @@ class PagedBatcher(ContinuousBatcher):
                 return
             self._plain_step_locked()
 
-    def _advance_and_grow_locked(self) -> List[bool]:
-        """Advance every slot position by one and back each active slot's
-        new write position with a block; returns per-slot pool-dry flags
-        (True ⇒ the token just computed at the old position must be that
-        request's last — the next write cannot be backed)."""
+    def _advance_and_grow_quantum(self, k: int):
+        """Advance every slot ``k`` positions and back each active slot's
+        new write positions with blocks; returns per-step (force flags,
+        emit-position snapshot). ``force[j][slot]`` True ⇒ the pool could
+        not back position `p+j+1`, so the quantum's token j must be that
+        request's LAST (later tokens drop; their writes went to the trash
+        block). Growth runs BEFORE the quantum dispatches, so the tables it
+        snapshots back every position it will write."""
         pos_cap = self.max_blocks * self.block_size - 1
-        force = [False] * self.n_slots
-        for slot in range(self.n_slots):
-            self._pos[slot] = min(int(self._pos[slot]) + 1, pos_cap)
-            if self.slots[slot] is None:
-                continue
-            bi = int(self._pos[slot]) // self.block_size
-            if bi >= len(self._slot_blocks[slot]) and bi < self.max_blocks:
-                grown = self.allocator.alloc(1)
-                if grown is None:
-                    force[slot] = True
-                else:
-                    self._slot_blocks[slot].extend(grown)
-                    self.tables[slot, bi] = grown[0]
-        return force
+        force = [[False] * self.n_slots for _ in range(k)]
+        epos = np.zeros((k, self.n_slots), np.int32)
+        for j in range(k):
+            for slot in range(self.n_slots):
+                self._pos[slot] = min(int(self._pos[slot]) + 1, pos_cap)
+                epos[j, slot] = self._pos[slot]
+                if self.slots[slot] is None:
+                    continue
+                bi = int(self._pos[slot]) // self.block_size
+                if bi >= len(self._slot_blocks[slot]) and bi < self.max_blocks:
+                    grown = self.allocator.alloc(1)
+                    if grown is None:
+                        force[j][slot] = True
+                    else:
+                        self._slot_blocks[slot].extend(grown)
+                        self.tables[slot, bi] = grown[0]
+        return force, epos
 
-    def _process_paged_results(self, nxt, lp, force: List[bool],
-                               emit_pos) -> None:
-        """Deliver one completed step's tokens. ``emit_pos`` is the position
-        snapshot taken when THIS step's positions advanced — the live
-        ``self._pos`` is up to PIPELINE_DEPTH steps ahead by delivery time,
-        so the seq-cap classification must use the snapshot."""
-        for slot in range(self.n_slots):
-            if self.slots[slot] is None:
-                continue
-            self._feed[slot] = int(nxt[slot])
-            self._record_logprobs(slot, int(nxt[slot]), lp, row=slot)
-            self._emit(slot, int(nxt[slot]), force_finish=force[slot],
-                       pos=int(emit_pos[slot]))
+    def _process_paged_quantum(self, all_toks, all_lp, force, epos) -> None:
+        """Deliver one completed quantum's tokens, step by step. ``epos``
+        holds the position snapshots taken when the quantum's positions
+        advanced — the live ``self._pos`` may be a full pipeline ahead by
+        delivery time, so seq-cap classification must use the snapshot."""
+        for j in range(all_toks.shape[0]):
+            lp_j = (all_lp[0][j], all_lp[1][j], all_lp[2][j])
+            for slot in range(self.n_slots):
+                if self.slots[slot] is None:
+                    continue
+                tok = int(all_toks[j, slot])
+                self._feed[slot] = tok
+                self._record_logprobs(slot, tok, lp_j, row=slot)
+                self._emit(slot, tok, force_finish=force[j][slot],
+                           pos=int(epos[j, slot]))
 
     def _flush_inflight(self) -> None:
         while self._inflight:
-            nxt, lp, _poss, force, emit_pos = self._inflight.pop(0)
-            if force is None:
-                force = self._advance_and_grow_locked()
-                emit_pos = self._pos.copy()
-            self._process_paged_results(np.asarray(nxt), lp, force, emit_pos)
+            all_toks, all_lp, _t, _p, force, epos = self._inflight.pop(0)
+            self._process_paged_quantum(np.asarray(all_toks), all_lp,
+                                        force, epos)
 
-    def _dispatch_paged(self, toks, poss):
+    def _dispatch_paged(self, toks, poss, force, epos):
         """Host arrays are snapshotted (``.copy()``) before device_put: on
         the CPU backend ``jnp.asarray`` can ALIAS the numpy buffer
         zero-copy, and the pipelined step() mutates tables/positions/keys
         (growth, release, admission) while the dispatched step may still be
         executing — without the copy that mutation races the compute."""
-        nxt, lp, self.pool = _decode_jit(
+        k = 1 if self.speculate_k else self.step_quantum
+        all_toks, all_lp, fin_tok, fin_poss, self.pool = _decode_scan_jit(
             self.engine.model.params, self.cfg, toks, poss,
-            self.pool, jnp.asarray(self.tables.copy()), self.attn_impl,
+            self.pool, k, self.attn_impl, jnp.asarray(self.tables.copy()),
             jnp.asarray(self._key.copy()), jnp.asarray(self._temp.copy()),
             jnp.asarray(self._topk.copy()), jnp.asarray(self._topp.copy()))
         try:
-            nxt.copy_to_host_async()   # bytes land before the later fetch
+            all_toks.copy_to_host_async()   # bytes land before the fetch
         except AttributeError:
             pass
-        return [nxt, lp, poss, None, None]
+        return [all_toks, all_lp, fin_tok, fin_poss, force, epos]
 
     def _plain_step_locked(self) -> None:
-        """One pipelined plain decode iteration (depth PIPELINE_DEPTH — see
-        ContinuousBatcher.step for why depth > 1 matters on RPC-attached
-        devices); caller holds the lock and has admitted. Invariant: every
-        active slot's current write position is backed (admission backs
-        plen; _advance_and_grow_locked backs each +1 before the step that
-        writes there dispatches, and its pool-dry flags are stamped onto
-        the step whose token they gate)."""
-        pos_cap = self.max_blocks * self.block_size - 1
+        """One pipelined plain iteration: a quantum of ``step_quantum``
+        chained decode steps per dispatch, up to PIPELINE_DEPTH quanta in
+        flight (see ContinuousBatcher.step for why both matter on
+        RPC-attached devices); caller holds the lock and has admitted.
+        Invariant: every position a quantum writes is backed (or force-
+        flagged) BEFORE it dispatches — block growth depends only on
+        positions, which the host advances at dispatch time."""
         if not self._inflight:
             # .copy(): see _dispatch_paged — these numpy buffers mutate
             # under later bookkeeping while this step is in flight
@@ -535,11 +564,11 @@ class PagedBatcher(ContinuousBatcher):
             poss = jnp.asarray(self._pos.copy())
         else:
             last = self._inflight[-1]
-            last[3] = self._advance_and_grow_locked()
-            last[4] = self._pos.copy()   # the just-advanced positions are
-            toks = last[0][:, None]      # THAT step's emit positions
-            poss = jnp.minimum(last[2] + 1, pos_cap)
-        self._inflight.append(self._dispatch_paged(toks, poss))
+            toks, poss = last[2], last[3]   # previous quantum's final carry
+        k = 1 if self.speculate_k else self.step_quantum
+        force, epos = self._advance_and_grow_quantum(k)
+        self._inflight.append(self._dispatch_paged(toks, poss, force, epos))
         if len(self._inflight) > self.PIPELINE_DEPTH:
-            nxt, lp, _poss, force, emit_pos = self._inflight.pop(0)
-            self._process_paged_results(np.asarray(nxt), lp, force, emit_pos)
+            all_toks, all_lp, _t, _p, force, epos = self._inflight.pop(0)
+            self._process_paged_quantum(np.asarray(all_toks), all_lp,
+                                        force, epos)

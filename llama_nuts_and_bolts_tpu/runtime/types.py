@@ -75,8 +75,11 @@ class InferenceArgs:
     # n-gram prompt-lookup speculative decoding: verify up to k drafts per
     # step (greedy only — exact-equivalence; 0 disables)
     speculate_k: int = 0
-    # "bf16" | "int8": int8 halves KV-cache HBM traffic (dominant at long
-    # context) and doubles the context that fits; per-row scales, written once
+    # "bf16" | "int8": int8 halves KV-cache bytes — its measured value is
+    # CAPACITY (2x the context x batch per chip; per-row scales, written
+    # once). Throughput is ~3-7% BELOW bf16 at small batch (weights dominate
+    # step traffic and the dequant math costs — docs/08); choose it to fit,
+    # not to speed up.
     kv_cache_dtype: str = "bf16"
     # process prompts longer than this many tokens in fixed-size chunks:
     # bounds prefill activation/attention memory at long context and reuses

@@ -152,6 +152,35 @@ def test_pipelined_step_keeps_one_step_in_flight():
     assert drain(r2) == seq_tokens([7, 8])
 
 
+def test_step_quantum_matches_sequential():
+    """step_quantum=4 (4 chained decode steps per dispatch, the RPC-device
+    default shape) must deliver exactly the sequential engine's streams —
+    including EOS/cap mid-quantum (later tokens in the quantum dropped) and
+    staggered admission at quantum granularity."""
+    eng = make_engine(sequence_length=24)
+    cb = ContinuousBatcher(eng, n_slots=2, step_quantum=4)
+    r1 = cb.submit([1, 5, 9])
+    cb.step()
+    r2 = cb.submit([7, 8])
+    r3 = cb.submit([3, 3, 3, 3])          # queues behind the first two
+    cb.run_until_idle()
+    assert drain(r1) == seq_tokens([1, 5, 9])
+    assert drain(r2) == seq_tokens([7, 8])
+    assert drain(r3) == seq_tokens([3, 3, 3, 3])
+
+
+def test_step_quantum_respects_max_new_tokens():
+    """A cap that lands mid-quantum must truncate exactly (no quantum
+    overshoot in the delivered stream)."""
+    eng = make_engine(sequence_length=24)
+    cb = ContinuousBatcher(eng, n_slots=1, step_quantum=4)
+    r = cb.submit([1, 5, 9], max_new_tokens=6)
+    cb.run_until_idle()
+    toks = drain(r)
+    assert len(toks) == 6
+    assert [t for _s, t in toks] == [t for _s, t in seq_tokens([1, 5, 9])][:6]
+
+
 def test_cancel_mid_flight_with_pipeline():
     """Cancelling while a step is in flight flushes first, frees the slot,
     and the surviving neighbor's stream is untouched."""

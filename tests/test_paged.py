@@ -183,6 +183,43 @@ def test_pool_starvation_finishes_gracefully_then_recovers():
     assert cb.allocator.available == 4
 
 
+def test_paged_step_quantum_matches_sequential():
+    """step_quantum=4 over the paged pool: same streams as the sequential
+    engine, including slot churn (more requests than slots) and caps that
+    land mid-quantum."""
+    eng = make_engine(sequence_length=24)
+    cb = PagedBatcher(eng, n_slots=2, block_size=BS, step_quantum=4)
+    prompts = [[1, 5, 9], [7, 8], [3, 3, 3, 3]]
+    reqs = [cb.submit(p) for p in prompts]
+    capped = cb.submit([2, 4], max_new_tokens=5)
+    cb.run_until_idle()
+    for p, r in zip(prompts, reqs):
+        assert drain(r) == seq_tokens(p), f"divergence for prompt {p}"
+    out = drain(capped)
+    assert len(out) == 5
+    assert [t for _s, t in out] == [t for _s, t in seq_tokens([2, 4])][:5]
+
+
+def test_paged_step_quantum_pool_starvation():
+    """Pool runs dry mid-quantum: the affected request force-finishes at its
+    last backed position (tail tokens dropped, writes in the trash block),
+    the other request is untouched, and every block returns to the pool."""
+    eng = make_engine(sequence_length=24)
+    cb = PagedBatcher(eng, n_slots=2, n_blocks=5, block_size=BS,
+                      step_quantum=4)
+    r1 = cb.submit([1, 5, 9], max_new_tokens=6)
+    r2 = cb.submit([7, 8], max_new_tokens=6)
+    cb.run_until_idle()
+    out1, out2 = drain(r1), drain(r2)
+    ref1 = seq_tokens([1, 5, 9])[:6]
+    ref2 = seq_tokens([7, 8])[:6]
+    assert [t for _, t in out1] == [t for _, t in ref1][:len(out1)]
+    assert [t for _, t in out2] == [t for _, t in ref2][:len(out2)]
+    assert out1[-1][0] != GenerationState.IN_PROGRESS
+    assert out2[-1][0] != GenerationState.IN_PROGRESS
+    assert cb.allocator.available == 4
+
+
 def test_paged_sampled_deterministic():
     """Sampling state rides the paged scheduler too: same seed → same tokens,
     greedy neighbors untouched."""
