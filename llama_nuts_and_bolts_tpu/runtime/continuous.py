@@ -499,9 +499,17 @@ class ContinuousBatcher:
             self._step_speculative()
             return
         with self._lock:
+            # flush only when slot occupancy can actually change: a cancel,
+            # or a pending request WITH a free slot to admit into. Pending
+            # alone must NOT flush — while all slots are busy and a backlog
+            # waits (the common loaded-server state), an unconditional
+            # flush would degrade every iteration to fully synchronous
+            # (measured: b4 sched stuck at ~77-92 tok/s vs 218 raw until
+            # this condition was narrowed)
             if self._inflight and (
-                    not self.pending.empty()
-                    or any(r is not None and r.cancelled for r in self.slots)):
+                    any(r is not None and r.cancelled for r in self.slots)
+                    or (not self.pending.empty()
+                        and any(r is None for r in self.slots))):
                 self._flush_inflight()
             self._sweep_cancelled()
             self._admit()

@@ -471,9 +471,13 @@ class PagedBatcher(ContinuousBatcher):
             self._step_speculative_paged()
             return
         with self._lock:
+            # narrow flush condition — see ContinuousBatcher.step: flushing
+            # on a mere backlog (no free slot) would serialize every
+            # iteration while the server is loaded
             if self._inflight and (
-                    not self.pending.empty() or self._stalled
-                    or any(r is not None and r.cancelled for r in self.slots)):
+                    any(r is not None and r.cancelled for r in self.slots)
+                    or ((not self.pending.empty() or self._stalled)
+                        and any(r is None for r in self.slots))):
                 self._flush_inflight()
             self._sweep_cancelled()
             self._admit()
