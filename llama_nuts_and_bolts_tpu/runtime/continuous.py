@@ -199,7 +199,11 @@ class ContinuousBatcher:
         # None = auto: 8 on RPC-attached devices (each dispatch costs a
         # network round trip), 1 host-attached (per-step admission/latency)
         if step_quantum is None:
-            step_quantum = 8 if jax.devices()[0].platform == "axon" else 1
+            from llama_nuts_and_bolts_tpu.utils.compile_cache import (
+                is_rpc_attached,
+            )
+
+            step_quantum = 8 if is_rpc_attached() else 1
         self.step_quantum = max(1, int(step_quantum))
         if speculate_k:
             # cache rows [seq_len, seq_len + K): draft rows past the cap may

@@ -384,7 +384,11 @@ class InferenceEngine:
         runtime/device_loop.py:1-9; host-attached stays per-token)."""
         if self.args.decode_chunk:
             return max(1, self.args.decode_chunk)
-        return 8 if jax.devices()[0].platform == "axon" else 1
+        from llama_nuts_and_bolts_tpu.utils.compile_cache import (
+            is_rpc_attached,
+        )
+
+        return 8 if is_rpc_attached() else 1
 
     def _decode_chunk(self, k: int, sampled: bool = False,
                       cache_len: Optional[int] = None):

@@ -179,7 +179,11 @@ class PagedBatcher(ContinuousBatcher):
         # scheduler quantum (see ContinuousBatcher): decode steps per
         # dispatch; None = auto (8 on RPC-attached devices, 1 local)
         if step_quantum is None:
-            step_quantum = 8 if jax.devices()[0].platform == "axon" else 1
+            from llama_nuts_and_bolts_tpu.utils.compile_cache import (
+                is_rpc_attached,
+            )
+
+            step_quantum = 8 if is_rpc_attached() else 1
         self.step_quantum = max(1, int(step_quantum))
         self.engine = engine
         self.cfg = engine.model.cfg

@@ -49,3 +49,17 @@ def apply_env_platform() -> None:
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def is_rpc_attached() -> bool:
+    """True when the active device is reached through an RPC relay (the
+    axon plugin), where every dispatch/fetch costs a network round trip —
+    the signal the decode-chunk and scheduler-quantum auto rules key on.
+
+    The device object itself reports ``platform == "tpu"`` (the plugin
+    registers as a TPU), so the reliable marker is the *platform list*
+    the plugin registration put into jax.config (``"axon,cpu"``).
+    """
+    import jax
+
+    return "axon" in str(jax.config.jax_platforms or "")
