@@ -203,7 +203,7 @@ class ContinuousBatcher:
                 is_rpc_attached,
             )
 
-            step_quantum = 8 if is_rpc_attached() else 1
+            step_quantum = 4 if is_rpc_attached() else 1
         self.step_quantum = max(1, int(step_quantum))
         if speculate_k:
             # cache rows [seq_len, seq_len + K): draft rows past the cap may

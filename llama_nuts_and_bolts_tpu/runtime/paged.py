@@ -183,7 +183,7 @@ class PagedBatcher(ContinuousBatcher):
                 is_rpc_attached,
             )
 
-            step_quantum = 8 if is_rpc_attached() else 1
+            step_quantum = 4 if is_rpc_attached() else 1
         self.step_quantum = max(1, int(step_quantum))
         self.engine = engine
         self.cfg = engine.model.cfg
