@@ -938,10 +938,12 @@ def stage_sched(w: StageWriter) -> None:
     prompts = [[3 + 7 * i + j for j in range(10 + (i % 3))]
                for i in range(NREQ)]
 
-    def drive(cb, tag):
-        """Submit NREQ requests, step the scheduler to completion, and time
+    def drive(cb, tag, n_req=None, max_new=None):
+        """Submit requests, step the scheduler to completion, and time
         every delivered token through req.tokens() from consumer threads."""
-        reqs = [cb.submit(p, max_new_tokens=MAXNEW) for p in prompts]
+        subset = prompts[:n_req] if n_req else prompts
+        reqs = [cb.submit(p, max_new_tokens=max_new or MAXNEW)
+                for p in subset]
         arrivals = [[] for _ in reqs]
 
         def consume(i, r):
@@ -986,6 +988,12 @@ def stage_sched(w: StageWriter) -> None:
         w.section("sched_step_quantum", cb.step_quantum)
         warm(cb)
         rate_cont = drive(cb, f"continuous_sched_b{SLOTS}")
+        if not TINY_MODE:
+            # the churn-amortization claim, measured: longer generations
+            # spread each admission's pipeline drain over more tokens, so
+            # delivered rate should close on the raw-scan ceiling
+            drive(cb, f"continuous_sched_b{SLOTS}_long",
+                  n_req=2 * SLOTS, max_new=4 * MAXNEW)
         del cb
     except Exception as exc:  # noqa: BLE001
         rate_cont = None
