@@ -54,6 +54,11 @@ def main(argv=None) -> int:
                    help="admit at most N concurrent generation requests; "
                         "excess get an immediate 429 + Retry-After "
                         "(0 = auto: 4x --continuous slots, else 8)")
+    p.add_argument("--step-quantum", type=int, default=0, metavar="K",
+                   help="decode steps per scheduler dispatch (0 = auto: 4 "
+                        "on RPC-attached devices, 1 host-attached); larger "
+                        "amortizes dispatch overhead, smaller tightens "
+                        "admission/stop granularity and burst latency")
     p.add_argument("--no-prewarm", action="store_true",
                    help="skip compiling the hot prefill/decode executables "
                         "before the socket opens (prewarming costs one short "
@@ -143,7 +148,8 @@ def main(argv=None) -> int:
           paged_blocks=args.paged_blocks,
           prefix_cache=not args.no_prefix_cache,
           max_pending=args.max_pending, prewarm=not args.no_prewarm,
-          token_timeout_s=args.token_timeout)
+          token_timeout_s=args.token_timeout,
+          step_quantum=args.step_quantum or None)
     return 0
 
 

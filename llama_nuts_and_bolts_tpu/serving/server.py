@@ -77,7 +77,8 @@ class LlamaHTTPServer:
     def __init__(self, engine: InferenceEngine, model_name: str = "llama-3.1-8b-instruct",
                  continuous_slots: int = 0, paged_blocks: int = 0,
                  prefix_cache: bool = True, max_pending: int = 0,
-                 token_timeout_s: float = 120.0):
+                 token_timeout_s: float = 120.0,
+                 step_quantum: Optional[int] = None):
         self.engine = engine
         self.model_name = model_name
         # max wall-clock wait for ONE token from the batcher before the
@@ -112,7 +113,8 @@ class LlamaHTTPServer:
                 self.batcher = PagedBatcher(
                     engine, n_slots=continuous_slots, n_blocks=paged_blocks,
                     prefix_cache=prefix_cache,
-                    speculate_k=getattr(engine.args, "speculate_k", 0))
+                    speculate_k=getattr(engine.args, "speculate_k", 0),
+                    step_quantum=step_quantum)
             else:
                 from llama_nuts_and_bolts_tpu.runtime.continuous import (
                     ContinuousBatcher,
@@ -120,7 +122,8 @@ class LlamaHTTPServer:
 
                 self.batcher = ContinuousBatcher(
                     engine, n_slots=continuous_slots,
-                    speculate_k=getattr(engine.args, "speculate_k", 0))
+                    speculate_k=getattr(engine.args, "speculate_k", 0),
+                    step_quantum=step_quantum)
             self.batcher.serve_forever_in_thread()
 
     # ------------------------------------------------------------ requests
@@ -798,9 +801,10 @@ def serve(engine: InferenceEngine, host: str = "0.0.0.0", port: int = 8000,
           model_name: str = "llama-3.1-8b-instruct", continuous_slots: int = 0,
           paged_blocks: int = 0, prefix_cache: bool = True,
           max_pending: int = 0, prewarm: bool = True,
-          token_timeout_s: float = 120.0):
+          token_timeout_s: float = 120.0, step_quantum=None):
     LlamaHTTPServer(engine, model_name, continuous_slots=continuous_slots,
                     paged_blocks=paged_blocks, prefix_cache=prefix_cache,
                     max_pending=max_pending,
-                    token_timeout_s=token_timeout_s).serve_forever(
+                    token_timeout_s=token_timeout_s,
+                    step_quantum=step_quantum).serve_forever(
                         host, port, prewarm=prewarm)
