@@ -240,8 +240,13 @@ class ContinuousBatcher:
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self.spec_stats = {"spec_steps": 0, "drafted": 0, "accepted": 0}
         self._lock = threading.Lock()
-        # pipelined plain steps in flight, oldest first: [(nxt, lp, poss)]
+        # pipelined plain steps in flight, oldest first:
+        # [(all_toks, all_lp, fin_tok, fin_poss, slots_snapshot)]
         self._inflight: list = []
+        # rows whose feed/position must come from HOST state at the next
+        # dispatch (just-admitted slots): the device chain carries the old
+        # occupant's garbage for them
+        self._splice = np.zeros(n_slots, dtype=bool)
 
     # ------------------------------------------------------------- public
 
@@ -316,6 +321,7 @@ class ContinuousBatcher:
             self.slots[slot] = req
             self._feed[slot] = int(first)
             self._pos[slot] = plen
+            self._splice[slot] = True   # next dispatch feeds from host state
             if self.speculate_k and self._speculates(req):
                 from llama_nuts_and_bolts_tpu.runtime.speculative import (
                     NgramProposer,
@@ -450,31 +456,39 @@ class ContinuousBatcher:
             all_toks.copy_to_host_async()   # stream back before the fetch
         except AttributeError:
             pass
-        return all_toks, all_lp, fin_tok, fin_poss
+        # the occupancy snapshot makes delivery admission-safe WITHOUT
+        # pipeline flushes: a token row is delivered only if the slot still
+        # holds the request it held at dispatch (identity, not equality)
+        return all_toks, all_lp, fin_tok, fin_poss, list(self.slots)
 
-    def _process_plain_results(self, nxt, lp) -> None:
-        """Host bookkeeping for one completed step (``nxt`` is on host)."""
+    def _process_plain_results(self, nxt, lp, snapshot) -> None:
+        """Host bookkeeping for one completed step (``nxt`` is on host).
+        Rows whose slot changed hands since dispatch (``snapshot[slot]`` is
+        no longer the live occupant) are DROPPED — their tokens belong to a
+        finished/cancelled request's garbage chain, and their position
+        bookkeeping is frozen (admission reset it)."""
         for slot in range(self.n_slots):
-            active = self.slots[slot] is not None
+            if snapshot[slot] is None or snapshot[slot] is not self.slots[slot]:
+                continue
             self._pos[slot] = min(int(self._pos[slot]) + 1, self.seq_len - 1)
-            if active:
-                self._feed[slot] = int(nxt[slot])
-                self._record_logprobs(slot, int(nxt[slot]), lp, row=slot)
-                self._emit(slot, int(nxt[slot]))
+            self._feed[slot] = int(nxt[slot])
+            self._record_logprobs(slot, int(nxt[slot]), lp, row=slot)
+            self._emit(slot, int(nxt[slot]))
 
-    def _process_quantum(self, all_toks, all_lp) -> None:
+    def _process_quantum(self, all_toks, all_lp, snapshot) -> None:
         """Deliver one completed quantum: k per-step token rows, in order.
         A row whose request finished at step j has its later tokens DROPPED
         (its slot is already None when they replay) — their cache writes
         are invisible until the slot's next occupant overwrites them."""
         for j in range(all_toks.shape[0]):
             self._process_plain_results(
-                all_toks[j], (all_lp[0][j], all_lp[1][j], all_lp[2][j]))
+                all_toks[j], (all_lp[0][j], all_lp[1][j], all_lp[2][j]),
+                snapshot)
 
     def _flush_inflight(self) -> None:
         while self._inflight:
-            all_toks, all_lp, _t, _p = self._inflight.pop(0)
-            self._process_quantum(np.asarray(all_toks), all_lp)
+            all_toks, all_lp, _t, _p, snap = self._inflight.pop(0)
+            self._process_quantum(np.asarray(all_toks), all_lp, snap)
 
     def step(self) -> None:
         """Advance the world by one iteration — PIPELINED: up to
@@ -489,32 +503,27 @@ class ContinuousBatcher:
         device step is faster (measured: b4 sched 85 vs 217 tok/s raw at
         depth 1 on a tunneled v5e). Results also start copying host-ward
         right at dispatch (copy_to_host_async), so the eventual np.asarray
-        usually finds the bytes already local. Slot occupancy must be
-        stable while steps are in flight — any cancellation or pending
-        admission flushes the pipeline first, so host state is current
-        before slots change hands (a freed slot re-admitted under a live
-        in-flight step would misdeliver that step's token to the new
-        request). Delivered token streams are IDENTICAL to the unpipelined
-        scheduler: the device chain feeds the same values the host round
-        trip would have, and finished slots' extra in-flight rows are
-        dropped at processing (same cache-staleness argument as admission
-        into a previously-used slot)."""
+        usually finds the bytes already local. Occupancy changes (admit /
+        cancel / finish) do NOT flush the pipeline: every entry carries a
+        slots snapshot and delivery drops rows whose slot changed hands
+        (request identity), while the next dispatch splices just-admitted
+        rows' host feed/position into the device chain. Delivered token
+        streams are IDENTICAL to the unpipelined scheduler: the device
+        chain feeds the same values the host round trip would have, and
+        finished slots' extra in-flight rows are dropped at processing
+        (same cache-staleness argument as admission into a previously-used
+        slot)."""
         if self.speculate_k:
             self._step_speculative()
             return
         with self._lock:
-            # flush only when slot occupancy can actually change: a cancel,
-            # or a pending request WITH a free slot to admit into. Pending
-            # alone must NOT flush — while all slots are busy and a backlog
-            # waits (the common loaded-server state), an unconditional
-            # flush would degrade every iteration to fully synchronous
-            # (measured: b4 sched stuck at ~77-92 tok/s vs 218 raw until
-            # this condition was narrowed)
-            if self._inflight and (
-                    any(r is not None and r.cancelled for r in self.slots)
-                    or (not self.pending.empty()
-                        and any(r is None for r in self.slots))):
-                self._flush_inflight()
+            # admission and cancellation are FLUSH-FREE: each in-flight
+            # entry carries its occupancy snapshot, so a re-admitted slot's
+            # stale in-flight rows are dropped at delivery by identity, and
+            # the next dispatch SPLICES the new occupant's host feed/
+            # position into the device chain (mask-select). Draining the
+            # pipeline on every admission cost ~25% of delivered throughput
+            # at churn-heavy workloads (docs/18).
             self._sweep_cancelled()
             self._admit()
             if not any(r is not None for r in self.slots):
@@ -525,15 +534,24 @@ class ContinuousBatcher:
                 # under later bookkeeping while this step is in flight
                 toks = jnp.asarray(self._feed[:, None].copy())
                 poss = jnp.asarray(self._pos.copy())
+                self._splice[:] = False
             else:
-                # chain from the previous quantum's FINAL carry — both are
-                # device-resident and shape-ready, so the dispatch needs
-                # zero host round trips and zero eager device ops
-                _a, _l, toks, poss = self._inflight[-1]
+                # chain from the previous quantum's FINAL carry — device-
+                # resident and shape-ready, zero host round trips — with
+                # just-admitted rows spliced from host state
+                _a, _l, toks, poss, _s = self._inflight[-1]
+                if self._splice.any():
+                    mask = jnp.asarray(self._splice.copy())
+                    toks = jnp.where(mask[:, None],
+                                     jnp.asarray(self._feed[:, None].copy()),
+                                     toks)
+                    poss = jnp.where(mask, jnp.asarray(self._pos.copy()),
+                                     poss)
+                    self._splice[:] = False
             self._inflight.append(self._dispatch_plain(toks, poss))
             if len(self._inflight) > self.PIPELINE_DEPTH:
-                all_toks, all_lp, _t, _p = self._inflight.pop(0)
-                self._process_quantum(np.asarray(all_toks), all_lp)
+                all_toks, all_lp, _t, _p, snap = self._inflight.pop(0)
+                self._process_quantum(np.asarray(all_toks), all_lp, snap)
 
     def _step_speculative(self) -> None:
         """One speculative iteration: every slot's feed token plus up to K

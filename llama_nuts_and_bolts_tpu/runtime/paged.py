@@ -241,11 +241,11 @@ class PagedBatcher(ContinuousBatcher):
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._stalled: deque[Request] = deque()   # admitted-order, pool-starved
         self._lock = threading.Lock()
-        # pipelined plain steps in flight, oldest first; each entry is
-        # [nxt_dev, lp_dev, poss_dev, force_flags|None] — the pool-dry
-        # flags for a step are computed when the NEXT step's positions
-        # advance (block growth is position-driven, token-independent)
+        # pipelined quanta in flight, oldest first; each entry is
+        # [all_toks, all_lp, fin_tok, fin_poss, force, epos, snapshot]
         self._inflight: list = []
+        # rows to feed from HOST state at the next dispatch (just admitted)
+        self._splice = np.zeros(n_slots, dtype=bool)
 
     def submit(self, prompt_tokens, **kwargs):
         """Reject prompts the pool can NEVER hold — otherwise they would
@@ -347,6 +347,7 @@ class PagedBatcher(ContinuousBatcher):
             self.slots[slot] = req
             self._feed[slot] = int(first)
             self._pos[slot] = plen
+            self._splice[slot] = True   # next dispatch feeds from host
             if self.speculate_k and self._speculates(req):
                 from llama_nuts_and_bolts_tpu.runtime.speculative import (
                     NgramProposer,
@@ -475,14 +476,8 @@ class PagedBatcher(ContinuousBatcher):
             self._step_speculative_paged()
             return
         with self._lock:
-            # narrow flush condition — see ContinuousBatcher.step: flushing
-            # on a mere backlog (no free slot) would serialize every
-            # iteration while the server is loaded
-            if self._inflight and (
-                    any(r is not None and r.cancelled for r in self.slots)
-                    or ((not self.pending.empty() or self._stalled)
-                        and any(r is None for r in self.slots))):
-                self._flush_inflight()
+            # admission/cancellation are flush-free (identity-snapshot
+            # delivery + host-splice dispatch — see ContinuousBatcher.step)
             self._sweep_cancelled()
             self._admit()
             if not any(r is not None for r in self.slots):
@@ -517,15 +512,20 @@ class PagedBatcher(ContinuousBatcher):
                         self.tables[slot, bi] = grown[0]
         return force, epos
 
-    def _process_paged_quantum(self, all_toks, all_lp, force, epos) -> None:
+    def _process_paged_quantum(self, all_toks, all_lp, force, epos,
+                               snapshot) -> None:
         """Deliver one completed quantum's tokens, step by step. ``epos``
         holds the position snapshots taken when the quantum's positions
         advanced — the live ``self._pos`` may be a full pipeline ahead by
-        delivery time, so seq-cap classification must use the snapshot."""
+        delivery time, so seq-cap classification must use the snapshot.
+        Rows whose slot changed hands since dispatch (``snapshot[slot]`` is
+        not the live occupant) are dropped — admission is flush-free, same
+        identity rule as the dense scheduler."""
         for j in range(all_toks.shape[0]):
             lp_j = (all_lp[0][j], all_lp[1][j], all_lp[2][j])
             for slot in range(self.n_slots):
-                if self.slots[slot] is None:
+                if (snapshot[slot] is None
+                        or snapshot[slot] is not self.slots[slot]):
                     continue
                 tok = int(all_toks[j, slot])
                 self._feed[slot] = tok
@@ -535,9 +535,9 @@ class PagedBatcher(ContinuousBatcher):
 
     def _flush_inflight(self) -> None:
         while self._inflight:
-            all_toks, all_lp, _t, _p, force, epos = self._inflight.pop(0)
+            all_toks, all_lp, _t, _p, force, epos, snap = self._inflight.pop(0)
             self._process_paged_quantum(np.asarray(all_toks), all_lp,
-                                        force, epos)
+                                        force, epos, snap)
 
     def _dispatch_paged(self, toks, poss, force, epos):
         """Host arrays are snapshotted (``.copy()``) before device_put: on
@@ -555,7 +555,8 @@ class PagedBatcher(ContinuousBatcher):
             all_toks.copy_to_host_async()   # bytes land before the fetch
         except AttributeError:
             pass
-        return [all_toks, all_lp, fin_tok, fin_poss, force, epos]
+        return [all_toks, all_lp, fin_tok, fin_poss, force, epos,
+                list(self.slots)]
 
     def _plain_step_locked(self) -> None:
         """One pipelined plain iteration: a quantum of ``step_quantum``
@@ -570,13 +571,24 @@ class PagedBatcher(ContinuousBatcher):
             # under later bookkeeping while this step is in flight
             toks = jnp.asarray(self._feed[:, None].copy())
             poss = jnp.asarray(self._pos.copy())
+            self._splice[:] = False
         else:
+            # previous quantum's final carry, with just-admitted rows
+            # spliced from host state (flush-free admission)
             last = self._inflight[-1]
-            toks, poss = last[2], last[3]   # previous quantum's final carry
+            toks, poss = last[2], last[3]
+            if self._splice.any():
+                mask = jnp.asarray(self._splice.copy())
+                toks = jnp.where(mask[:, None],
+                                 jnp.asarray(self._feed[:, None].copy()),
+                                 toks)
+                poss = jnp.where(mask, jnp.asarray(self._pos.copy()), poss)
+                self._splice[:] = False
         k = 1 if self.speculate_k else self.step_quantum
         force, epos = self._advance_and_grow_quantum(k)
         self._inflight.append(self._dispatch_paged(toks, poss, force, epos))
         if len(self._inflight) > self.PIPELINE_DEPTH:
-            all_toks, all_lp, _t, _p, force, epos = self._inflight.pop(0)
+            (all_toks, all_lp, _t, _p,
+             force, epos, snap) = self._inflight.pop(0)
             self._process_paged_quantum(np.asarray(all_toks), all_lp,
-                                        force, epos)
+                                        force, epos, snap)

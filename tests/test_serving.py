@@ -189,6 +189,14 @@ def test_stream_failure_emits_error_chunk_and_counts_failed():
         assert events[-1] == "[DONE]"
         errs = [json.loads(e) for e in events[:-1] if "error" in e]
         assert any("generation failed" in j["error"]["message"] for j in errs)
+        # the handler counts the failure AFTER terminating the body the
+        # client just finished reading — give its thread a moment
+        import time as _time
+
+        deadline = _time.time() + 5
+        while (srv.metrics["requests_failed"] != 1
+               and _time.time() < deadline):
+            _time.sleep(0.02)
         assert srv.metrics["requests_failed"] == 1
         assert srv.metrics["requests_total"] == 1
     finally:
