@@ -476,8 +476,15 @@ class PagedBatcher(ContinuousBatcher):
             self._step_speculative_paged()
             return
         with self._lock:
-            # admission/cancellation are flush-free (identity-snapshot
-            # delivery + host-splice dispatch — see ContinuousBatcher.step)
+            # flush before an actually-possible admission (cancel, or
+            # pending/stalled + a free slot) — measured faster than fully
+            # flush-free admission; identity snapshots + splice remain as
+            # hardening (see ContinuousBatcher.step)
+            if self._inflight and (
+                    any(r is not None and r.cancelled for r in self.slots)
+                    or ((not self.pending.empty() or self._stalled)
+                        and any(r is None for r in self.slots))):
+                self._flush_inflight()
             self._sweep_cancelled()
             self._admit()
             if not any(r is not None for r in self.slots):

@@ -181,28 +181,27 @@ def test_step_quantum_respects_max_new_tokens():
     assert [t for _s, t in toks] == [t for _s, t in seq_tokens([1, 5, 9])][:6]
 
 
-def test_admission_does_not_flush_pipeline():
-    """Flush-free admission: a request admitted while steps are in flight
-    must NOT drain the pipeline (the in-flight depth stays), the stale
-    in-flight rows for its slot are dropped by identity, and every stream
-    still matches the sequential engine."""
+def test_finish_mid_pipeline_identity_drop_and_reuse():
+    """A request that finishes while later quanta are in flight leaves
+    stale rows in the pipeline; the per-entry occupancy snapshots drop
+    them by request IDENTITY, and the freed slot's next occupant (admitted
+    after a flush) streams exactly the sequential tokens — including under
+    a quantum, where the stale rows span multiple steps."""
     eng = make_engine(sequence_length=24)
-    cb = ContinuousBatcher(eng, n_slots=2, step_quantum=2)
-    r1 = cb.submit([1, 5, 9])
-    for _ in range(3):
-        cb.step()
-    assert len(cb._inflight) == cb.PIPELINE_DEPTH
+    cb = ContinuousBatcher(eng, n_slots=1, step_quantum=2)
+    r1 = cb.submit([1, 5, 9], max_new_tokens=3)
+    cb.run_until_idle()
     r2 = cb.submit([7, 8])
-    cb.step()                                  # admits r2 mid-pipeline
-    assert r2.slot is not None
-    assert len(cb._inflight) == cb.PIPELINE_DEPTH   # no drain happened
     cb.run_until_idle()
-    assert drain(r1) == seq_tokens([1, 5, 9])
+    out1 = drain(r1)
+    assert len(out1) == 3
+    assert [t for _s, t in out1] == [t for _s, t in seq_tokens([1, 5, 9])][:3]
     assert drain(r2) == seq_tokens([7, 8])
-    # slot churn after the fact stays clean too
-    r3 = cb.submit([3, 3, 3, 3])
+    # backlog + churn at quantum granularity stays exact
+    rs = [cb.submit(p) for p in ([3, 3, 3, 3], [2, 4], [9, 9, 1])]
     cb.run_until_idle()
-    assert drain(r3) == seq_tokens([3, 3, 3, 3])
+    for p, r in zip([[3, 3, 3, 3], [2, 4], [9, 9, 1]], rs):
+        assert drain(r) == seq_tokens(p)
 
 
 def test_cancel_mid_flight_with_pipeline():
