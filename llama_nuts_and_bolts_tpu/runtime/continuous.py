@@ -240,13 +240,21 @@ class ContinuousBatcher:
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self.spec_stats = {"spec_steps": 0, "drafted": 0, "accepted": 0}
         self._lock = threading.Lock()
-        # pipelined plain steps in flight, oldest first:
-        # [(all_toks, all_lp, fin_tok, fin_poss, slots_snapshot)]
+        # pipelined work in flight, oldest first; tagged entries:
+        #   ("q", all_toks, all_lp, slots_snapshot)          — one quantum
+        #   ("admit", slot, req, first_dev, lp_dev)          — a deferred
+        #     admission: the prefill's first token, fetched+emitted in
+        #     delivery order so _admit never blocks the host
         self._inflight: list = []
-        # rows whose feed/position must come from HOST state at the next
-        # dispatch (just-admitted slots): the device chain carries the old
-        # occupant's garbage for them
+        # the last dispatched quantum's final (token, positions) device
+        # carry — the next dispatch chains from it; None = dispatch from
+        # host state
+        self._last_carry = None
+        # rows whose feed/position must come from HOST state (or the
+        # deferred prefill scalar in _first_dev) at the next dispatch:
+        # the device chain carries the old occupant's garbage for them
         self._splice = np.zeros(n_slots, dtype=bool)
+        self._first_dev: list = [None] * n_slots
 
     # ------------------------------------------------------------- public
 
@@ -319,18 +327,30 @@ class ContinuousBatcher:
                 self._topk[slot], self._topp[slot])
             req.slot = slot
             self.slots[slot] = req
-            self._feed[slot] = int(first)
             self._pos[slot] = plen
-            self._splice[slot] = True   # next dispatch feeds from host state
-            if self.speculate_k and self._speculates(req):
-                from llama_nuts_and_bolts_tpu.runtime.speculative import (
-                    NgramProposer,
-                )
+            self._splice[slot] = True   # next dispatch feeds this row anew
+            if self.speculate_k:
+                # the speculative scheduler steps synchronously and its
+                # proposer needs the first token NOW
+                self._feed[slot] = int(first)
+                if self._speculates(req):
+                    from llama_nuts_and_bolts_tpu.runtime.speculative import (
+                        NgramProposer,
+                    )
 
-                self._proposers[slot] = NgramProposer(
-                    req.prompt + [int(first)])
-            self._record_logprobs(slot, int(first), lp)
-            self._emit(slot, int(first))
+                    self._proposers[slot] = NgramProposer(
+                        req.prompt + [int(first)])
+                self._record_logprobs(slot, int(first), lp)
+                self._emit(slot, int(first))
+            else:
+                # ASYNC admission: the first token stays a device scalar.
+                # The prefill executes behind any in-flight quanta (device
+                # order); its result is fetched + emitted in DELIVERY order
+                # via a pseudo-entry, and the next dispatch splices the
+                # scalar into the feed — the host never blocks, so the
+                # pipeline keeps streaming through admissions.
+                self._first_dev[slot] = first
+                self._inflight.append(("admit", slot, req, first, lp))
 
     def _accepted_chain(self, slot: int, drafts, preds, sampled0):
         """The tokens slot ``slot`` emits after a speculative verify step:
@@ -456,10 +476,11 @@ class ContinuousBatcher:
             all_toks.copy_to_host_async()   # stream back before the fetch
         except AttributeError:
             pass
-        # the occupancy snapshot makes delivery admission-safe WITHOUT
+        self._last_carry = (fin_tok, fin_poss)
+        # the occupancy snapshot makes delivery occupancy-safe WITHOUT
         # pipeline flushes: a token row is delivered only if the slot still
         # holds the request it held at dispatch (identity, not equality)
-        return all_toks, all_lp, fin_tok, fin_poss, list(self.slots)
+        return ("q", all_toks, all_lp, list(self.slots))
 
     def _process_plain_results(self, nxt, lp, snapshot) -> None:
         """Host bookkeeping for one completed step (``nxt`` is on host).
@@ -485,10 +506,31 @@ class ContinuousBatcher:
                 all_toks[j], (all_lp[0][j], all_lp[1][j], all_lp[2][j]),
                 snapshot)
 
+    def _process_admit(self, slot, req, first_dev, lp) -> None:
+        """Deliver a deferred admission's first token (device scalar fetch;
+        by delivery time it computed long ago). Skipped if the request was
+        cancelled before its first token could be delivered."""
+        if self.slots[slot] is not req:
+            return
+        tok = int(first_dev)
+        self._feed[slot] = tok
+        self._record_logprobs(slot, tok, lp)
+        self._emit(slot, tok)
+
+    def _process_entry(self, entry) -> None:
+        if entry[0] == "admit":
+            self._process_admit(*entry[1:])
+        else:
+            _tag, all_toks, all_lp, snap = entry
+            self._process_quantum(np.asarray(all_toks), all_lp, snap)
+
+    def _quanta_in_flight(self) -> int:
+        return sum(1 for e in self._inflight if e[0] == "q")
+
     def _flush_inflight(self) -> None:
         while self._inflight:
-            all_toks, all_lp, _t, _p, snap = self._inflight.pop(0)
-            self._process_quantum(np.asarray(all_toks), all_lp, snap)
+            self._process_entry(self._inflight.pop(0))
+        self._last_carry = None
 
     def step(self) -> None:
         """Advance the world by one iteration — PIPELINED: up to
@@ -517,51 +559,59 @@ class ContinuousBatcher:
             self._step_speculative()
             return
         with self._lock:
-            # flush only when occupancy can actually change: a cancel, or a
-            # pending request WITH a free slot. Pending alone must NOT
-            # flush — under load the backlog is always non-empty and an
-            # unconditional flush serializes every iteration (measured:
-            # 77-92 vs 141 tok/s). Flushing BEFORE admission is itself the
-            # measured winner over fully flush-free admission: _admit
-            # blocks on the prefill's first token, which executes behind
-            # any undelivered quanta either way — the flush at least turns
-            # that wait into deliveries (A/B on-chip: 140.8 vs 111.5
-            # tok/s). The identity snapshots + splice below stay as
-            # correctness hardening for any occupancy change that slips
-            # past a flush.
-            if self._inflight and (
-                    any(r is not None and r.cancelled for r in self.slots)
-                    or (not self.pending.empty()
-                        and any(r is None for r in self.slots))):
-                self._flush_inflight()
+            # occupancy changes never flush: cancels/finishes are handled
+            # by per-entry identity snapshots at delivery, and admission is
+            # ASYNC (the prefill's first token rides the pipeline as a
+            # pseudo-entry; _admit never blocks the host). The only drain
+            # left is at idle.
             self._sweep_cancelled()
             self._admit()
             if not any(r is not None for r in self.slots):
                 self._flush_inflight()   # drain steps whose rows all ended
                 return
-            if not self._inflight:
+            if self._last_carry is None:
                 # .copy(): see _dispatch_plain — these numpy buffers mutate
                 # under later bookkeeping while this step is in flight
                 toks = jnp.asarray(self._feed[:, None].copy())
                 poss = jnp.asarray(self._pos.copy())
-                self._splice[:] = False
             else:
                 # chain from the previous quantum's FINAL carry — device-
                 # resident and shape-ready, zero host round trips — with
-                # just-admitted rows spliced from host state
-                _a, _l, toks, poss, _s = self._inflight[-1]
+                # spliced rows (just-admitted slots) overridden below
+                toks, poss = self._last_carry
                 if self._splice.any():
                     mask = jnp.asarray(self._splice.copy())
-                    toks = jnp.where(mask[:, None],
-                                     jnp.asarray(self._feed[:, None].copy()),
-                                     toks)
                     poss = jnp.where(mask, jnp.asarray(self._pos.copy()),
                                      poss)
-                    self._splice[:] = False
+            if self._splice.any():
+                # per-row feed override: the deferred prefill's device
+                # scalar when one is pending, else the host feed value
+                for slot in np.nonzero(self._splice)[0]:
+                    fd = self._first_dev[int(slot)]
+                    if fd is not None:
+                        toks = toks.at[int(slot), 0].set(fd)
+                        self._first_dev[int(slot)] = None
+                    else:
+                        toks = toks.at[int(slot), 0].set(
+                            int(self._feed[int(slot)]))
+                self._splice[:] = False
             self._inflight.append(self._dispatch_plain(toks, poss))
-            if len(self._inflight) > self.PIPELINE_DEPTH:
-                all_toks, all_lp, _t, _p, snap = self._inflight.pop(0)
-                self._process_quantum(np.asarray(all_toks), all_lp, snap)
+            while self._quanta_in_flight() > self.PIPELINE_DEPTH:
+                self._process_entry(self._inflight.pop(0))
+            # deliver deferred first tokens NOW: their prefills are ordered
+            # BEFORE the quantum just dispatched, so this blocks at most
+            # the prefill's own tail (~ms) — not the pipeline — and keeps
+            # TTFT at one prefill instead of PIPELINE_DEPTH quanta.
+            # (Inter-request delivery order is free: rows of pre-admission
+            # quanta for this slot are identity-dropped regardless.)
+            if any(e[0] == "admit" for e in self._inflight):
+                keep = []
+                for e in self._inflight:
+                    if e[0] == "admit":
+                        self._process_entry(e)
+                    else:
+                        keep.append(e)
+                self._inflight = keep
 
     def _step_speculative(self) -> None:
         """One speculative iteration: every slot's feed token plus up to K

@@ -244,8 +244,11 @@ class PagedBatcher(ContinuousBatcher):
         # pipelined quanta in flight, oldest first; each entry is
         # [all_toks, all_lp, fin_tok, fin_poss, force, epos, snapshot]
         self._inflight: list = []
-        # rows to feed from HOST state at the next dispatch (just admitted)
+        # rows to feed anew at the next dispatch (just admitted)
         self._splice = np.zeros(n_slots, dtype=bool)
+        self._first_dev: list = [None] * n_slots
+        # last dispatched quantum's final (token, positions) device carry
+        self._last_carry = None
 
     def submit(self, prompt_tokens, **kwargs):
         """Reject prompts the pool can NEVER hold — otherwise they would
@@ -345,18 +348,26 @@ class PagedBatcher(ContinuousBatcher):
                     self.allocator.register(hashes[bi], blocks[bi])
             req.slot = slot
             self.slots[slot] = req
-            self._feed[slot] = int(first)
             self._pos[slot] = plen
-            self._splice[slot] = True   # next dispatch feeds from host
-            if self.speculate_k and self._speculates(req):
-                from llama_nuts_and_bolts_tpu.runtime.speculative import (
-                    NgramProposer,
-                )
+            self._splice[slot] = True   # next dispatch feeds this row anew
+            if self.speculate_k:
+                # spec mode steps synchronously; its proposer needs the
+                # first token NOW
+                self._feed[slot] = int(first)
+                if self._speculates(req):
+                    from llama_nuts_and_bolts_tpu.runtime.speculative import (
+                        NgramProposer,
+                    )
 
-                self._proposers[slot] = NgramProposer(
-                    req.prompt + [int(first)])
-            self._record_logprobs(slot, int(first), lp)
-            self._emit(slot, int(first))
+                    self._proposers[slot] = NgramProposer(
+                        req.prompt + [int(first)])
+                self._record_logprobs(slot, int(first), lp)
+                self._emit(slot, int(first))
+            else:
+                # ASYNC admission (see ContinuousBatcher._admit): the first
+                # token stays a device scalar, delivered via a pseudo-entry
+                self._first_dev[slot] = first
+                self._inflight.append(("admit", slot, req, first, lp))
 
     def _back_positions(self, slot: int, upto_pos: int) -> int:
         """Grow slot's blocks until position ``upto_pos`` is backed (or the
@@ -476,15 +487,8 @@ class PagedBatcher(ContinuousBatcher):
             self._step_speculative_paged()
             return
         with self._lock:
-            # flush before an actually-possible admission (cancel, or
-            # pending/stalled + a free slot) — measured faster than fully
-            # flush-free admission; identity snapshots + splice remain as
-            # hardening (see ContinuousBatcher.step)
-            if self._inflight and (
-                    any(r is not None and r.cancelled for r in self.slots)
-                    or ((not self.pending.empty() or self._stalled)
-                        and any(r is None for r in self.slots))):
-                self._flush_inflight()
+            # occupancy changes never flush: identity snapshots drop
+            # stale rows, admission is async (ContinuousBatcher.step)
             self._sweep_cancelled()
             self._admit()
             if not any(r is not None for r in self.slots):
@@ -540,11 +544,18 @@ class PagedBatcher(ContinuousBatcher):
                 self._emit(slot, tok, force_finish=force[j][slot],
                            pos=int(epos[j, slot]))
 
-    def _flush_inflight(self) -> None:
-        while self._inflight:
-            all_toks, all_lp, _t, _p, force, epos, snap = self._inflight.pop(0)
+    def _process_entry(self, entry) -> None:
+        if entry[0] == "admit":
+            self._process_admit(*entry[1:])
+        else:
+            _tag, all_toks, all_lp, force, epos, snap = entry
             self._process_paged_quantum(np.asarray(all_toks), all_lp,
                                         force, epos, snap)
+
+    def _flush_inflight(self) -> None:
+        while self._inflight:
+            self._process_entry(self._inflight.pop(0))
+        self._last_carry = None
 
     def _dispatch_paged(self, toks, poss, force, epos):
         """Host arrays are snapshotted (``.copy()``) before device_put: on
@@ -562,8 +573,8 @@ class PagedBatcher(ContinuousBatcher):
             all_toks.copy_to_host_async()   # bytes land before the fetch
         except AttributeError:
             pass
-        return [all_toks, all_lp, fin_tok, fin_poss, force, epos,
-                list(self.slots)]
+        self._last_carry = (fin_tok, fin_poss)
+        return ("q", all_toks, all_lp, force, epos, list(self.slots))
 
     def _plain_step_locked(self) -> None:
         """One pipelined plain iteration: a quantum of ``step_quantum``
@@ -573,29 +584,39 @@ class PagedBatcher(ContinuousBatcher):
         Invariant: every position a quantum writes is backed (or force-
         flagged) BEFORE it dispatches — block growth depends only on
         positions, which the host advances at dispatch time."""
-        if not self._inflight:
+        if self._last_carry is None:
             # .copy(): see _dispatch_paged — these numpy buffers mutate
             # under later bookkeeping while this step is in flight
             toks = jnp.asarray(self._feed[:, None].copy())
             poss = jnp.asarray(self._pos.copy())
-            self._splice[:] = False
         else:
-            # previous quantum's final carry, with just-admitted rows
-            # spliced from host state (flush-free admission)
-            last = self._inflight[-1]
-            toks, poss = last[2], last[3]
+            # previous quantum's final carry; spliced rows overridden below
+            toks, poss = self._last_carry
             if self._splice.any():
-                mask = jnp.asarray(self._splice.copy())
-                toks = jnp.where(mask[:, None],
-                                 jnp.asarray(self._feed[:, None].copy()),
-                                 toks)
-                poss = jnp.where(mask, jnp.asarray(self._pos.copy()), poss)
-                self._splice[:] = False
+                poss = jnp.where(jnp.asarray(self._splice.copy()),
+                                 jnp.asarray(self._pos.copy()), poss)
+        if self._splice.any():
+            for slot in np.nonzero(self._splice)[0]:
+                fd = self._first_dev[int(slot)]
+                if fd is not None:
+                    toks = toks.at[int(slot), 0].set(fd)
+                    self._first_dev[int(slot)] = None
+                else:
+                    toks = toks.at[int(slot), 0].set(
+                        int(self._feed[int(slot)]))
+            self._splice[:] = False
         k = 1 if self.speculate_k else self.step_quantum
         force, epos = self._advance_and_grow_quantum(k)
         self._inflight.append(self._dispatch_paged(toks, poss, force, epos))
-        if len(self._inflight) > self.PIPELINE_DEPTH:
-            (all_toks, all_lp, _t, _p,
-             force, epos, snap) = self._inflight.pop(0)
-            self._process_paged_quantum(np.asarray(all_toks), all_lp,
-                                        force, epos, snap)
+        while self._quanta_in_flight() > self.PIPELINE_DEPTH:
+            self._process_entry(self._inflight.pop(0))
+        # deliver deferred first tokens now (ContinuousBatcher.step: blocks
+        # at most the prefill's own tail, keeps TTFT at one prefill)
+        if any(e[0] == "admit" for e in self._inflight):
+            keep = []
+            for e in self._inflight:
+                if e[0] == "admit":
+                    self._process_entry(e)
+                else:
+                    keep.append(e)
+            self._inflight = keep
