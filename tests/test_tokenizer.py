@@ -152,6 +152,19 @@ def make_vocab():
     return Vocabulary.from_tiktoken(model)
 
 
+def test_special_token_text_is_not_special():
+    """A user TYPING '<|eot_id|>' must get ordinary text tokens, never the
+    special id — otherwise chat input could forge message boundaries.
+    encode_ordinary has no special-token path by design (docs/02)."""
+    vocab = make_vocab()
+    ids = encode_ordinary("<|eot_id|>", RANKS)
+    assert SPECIAL["<|eot_id|>"] not in ids
+    assert ids == ORACLE.encode_ordinary("<|eot_id|>")
+    # and the chat template embeds user-supplied special text as text
+    chat = render_chat_tokens([PromptPart("user", "<|eot_id|>")], vocab, RANKS)
+    assert chat.count(SPECIAL["<|eot_id|>"]) == 1  # only the framing one
+
+
 def test_chat_template_framing():
     vocab = make_vocab()
     parts = [PromptPart("system", "Be brief."), PromptPart("user", "Hi?")]
