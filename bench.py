@@ -116,7 +116,8 @@ def _run_stage(stage: str, budget_s: float, results: dict,
     try:
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
-             "--stage", stage, "--out", out.name],
+             "--stage", stage, "--out", out.name,
+             "--budget", str(int(budget_s))],
             stdout=sys.stderr, stderr=sys.stderr, cwd=REPO)
         _CURRENT_STAGE["proc"] = proc
         extended = False
@@ -879,7 +880,7 @@ def _synthetic_vocab(n_normal: int):
     return Vocabulary.from_tiktoken(tk), ranks
 
 
-def stage_sched(w: StageWriter) -> None:
+def stage_sched(w: StageWriter, budget_s: float = float("inf")) -> None:
     """THE SCHEDULERS THEMSELVES, measured end-to-end on the chip: the
     continuous and paged batchers driven through submit()/step()/
     req.tokens() — admission, host bookkeeping, per-token queue delivery
@@ -887,7 +888,18 @@ def stage_sched(w: StageWriter) -> None:
     the numbers the raw forward-scan proxies (stage_quant's continuous_*
     sections) stand in for; scheduler overhead = delivered / raw-scan.
     Replaces the decode loop at reference src/inference/inference.go:173-254
-    with production scheduling the reference never had."""
+    with production scheduling the reference never had.
+
+    The kernel A/B sections (_kern_sections) run in this stage's TAIL: a
+    fresh process pays a tunnel stall that can eat a whole stage budget
+    (measured 47-74 s per process), so one process runs both. ``budget_s``
+    lets the tail skip configs it cannot finish rather than get killed
+    mid-measurement."""
+    t_stage0 = time.perf_counter()
+
+    def time_left() -> float:
+        return budget_s - (time.perf_counter() - t_stage0)
+
     jax = _stage_setup(w)
     import jax.numpy as jnp
     import numpy as np
@@ -1051,19 +1063,21 @@ def stage_sched(w: StageWriter) -> None:
     # prompt-lookup proposer latches onto — acceptance is whatever the model
     # actually exhibits and is RECORDED, not assumed.
     try:
+        import dataclasses
+
         spec_prompt = [17, 23, 31, 47] * 6
         spec_new = MAXNEW * 2
 
-        def timed_generate(**args):
-            e = InferenceEngine(model, InferenceArgs(sequence_length=CTX,
-                                                     **args))
+        def timed_generate(model_, prompt, runs=2, **args):
+            e = InferenceEngine(model_, InferenceArgs(sequence_length=CTX,
+                                                      **args))
             # warm on the SAME engine (its jit wrappers hold the compiled
             # prefill + decode executables)
-            list(e.generate_tokens(spec_prompt, max_new_tokens=4))
+            list(e.generate_tokens(prompt, max_new_tokens=4))
             if args.get("speculate_k"):
                 # the S=k+1 verify program only compiles when a draft fires,
-                # which depends on the random model's output — force the
-                # compile here so it can never land inside the timed window
+                # which depends on the model's output — force the compile
+                # here so it can never land inside the timed window
                 kk = args["speculate_k"]
                 warm_c = e.new_cache(1, e.seq_len)
                 logits, _ = e._fwd(e.model.params, cfg,
@@ -1072,9 +1086,9 @@ def stage_sched(w: StageWriter) -> None:
                 np.asarray(logits[0, 0, :1])
                 del warm_c
             best = None
-            for _ in range(2):   # best-of-2: shed transient tunnel stalls
+            for _ in range(runs):  # best-of-n: shed transient tunnel stalls
                 t0 = time.perf_counter()
-                toks = list(e.generate_tokens(spec_prompt,
+                toks = list(e.generate_tokens(prompt,
                                               max_new_tokens=spec_new))
                 dt = time.perf_counter() - t0
                 rate = len(toks) / dt
@@ -1082,20 +1096,61 @@ def stage_sched(w: StageWriter) -> None:
                     best = (rate, getattr(e, "spec_stats", None))
             return best
 
-        w.mark("speculative: plain per-token baseline")
-        plain_rate, _ = timed_generate(decode_chunk=1)
-        w.section("speculative_plain_sync_tokens_per_s", round(plain_rate, 2))
-        for k in (2, 4):
-            w.mark(f"speculative k={k}")
-            rate, stats = timed_generate(speculate_k=k)
+        def spec_sections(tag, model_, prompt, k, plain_rate, runs=1):
+            rate, stats = timed_generate(model_, prompt, runs=runs,
+                                         speculate_k=k)
             acc = (stats["accepted"] / stats["drafted"]
                    if stats and stats["drafted"] else 0.0)
-            w.section(f"speculative_ngram_k{k}_tokens_per_s", round(rate, 2))
-            w.section(f"speculative_ngram_k{k}_acceptance", round(acc, 4))
-            w.section(f"speculative_ngram_k{k}_vs_plain",
+            w.section(f"speculative_{tag}_k{k}_tokens_per_s", round(rate, 2))
+            w.section(f"speculative_{tag}_k{k}_acceptance", round(acc, 4))
+            w.section(f"speculative_{tag}_k{k}_vs_plain",
                       round(rate / plain_rate, 4))
-            w.mark(f"spec k={k}: {rate:.2f} tok/s, acceptance {acc:.2%}, "
-                   f"{rate / plain_rate:.2f}x plain ({stats})")
+            w.mark(f"spec {tag} k={k}: {rate:.2f} tok/s, acceptance "
+                   f"{acc:.2%}, {rate / plain_rate:.2f}x plain ({stats})")
+
+        w.mark("speculative: plain per-token baseline")
+        plain_rate, _ = timed_generate(model, spec_prompt, runs=2,
+                                       decode_chunk=1)
+        w.section("speculative_plain_sync_tokens_per_s", round(plain_rate, 2))
+        # Acceptance floor: a random-weights model's greedy output is NOT
+        # self-repetitive, so the n-gram proposer almost never fires —
+        # measured acceptance ~0. This records speculation's OVERHEAD when
+        # drafts never land (the honest worst case).
+        w.mark("speculative k=4 on the random model (acceptance floor)")
+        spec_sections("ngram", model, spec_prompt, 4, plain_rate, runs=2)
+
+        # Acceptance ceiling: a CONSTRUCTED-CYCLIC model. Zeroing wo and
+        # w_down makes the residual stream exactly the token embedding
+        # (every matmul still runs at full shape — identical HBM/FLOP cost
+        # per step, verified by plain-rate parity below), and the LM head's
+        # first C rows are set to the embeddings of the previous cycle
+        # element, so greedy output cycles over C tokens. The n-gram
+        # proposer latches onto the cycle; acceptance is measured, not
+        # assumed — this is the systems ceiling of the speculation path on
+        # self-repetitive text (code, quotes, structured output).
+        CYC = 8
+        layers_cyc = dict(params.layers)
+        emb = params.tok_embeddings
+        out_cyc = jnp.zeros_like(params.output)
+        out_cyc = out_cyc.at[:CYC].set(
+            emb[(jnp.arange(CYC) - 1) % CYC].astype(out_cyc.dtype))
+        layers_cyc["wo"] = jnp.zeros_like(layers_cyc["wo"])
+        layers_cyc["w_down"] = jnp.zeros_like(layers_cyc["w_down"])
+        params_cyc = dataclasses.replace(params, layers=layers_cyc,
+                                         output=out_cyc)
+        model_cyc = LoadedModel(params=params_cyc, cfg=cfg, vocab=vocab,
+                                mergeable_ranks=ranks, tensor_meta={})
+        cyc_prompt = list(range(CYC)) * 3
+        cyc_plain, _ = timed_generate(model_cyc, cyc_prompt, runs=1,
+                                      decode_chunk=1)
+        w.section("speculative_cyclic_plain_tokens_per_s",
+                  round(cyc_plain, 2))
+        w.mark(f"cyclic model plain: {cyc_plain:.2f} tok/s (step-cost "
+               f"parity vs random plain {plain_rate:.2f})")
+        for k in (2, 4):
+            w.mark(f"speculative k={k} on the cyclic model")
+            spec_sections("cyclic", model_cyc, cyc_prompt, k, cyc_plain)
+        del params_cyc, model_cyc, layers_cyc, out_cyc
     except Exception as exc:  # noqa: BLE001
         w.mark(f"speculative section skipped: {exc}")
 
@@ -1135,16 +1190,31 @@ def stage_sched(w: StageWriter) -> None:
     except Exception as exc:  # noqa: BLE001
         w.mark(f"spec step-cost section skipped: {exc}")
 
+    # -- kernel A/Bs, same process (a fresh process would re-pay the tunnel
+    # stall — measured 47-74 s — out of its own budget) -----------------------
+    del engine, model, params
+    _kern_sections(w, jax, time_left)
+
 
 def stage_kern(w: StageWriter) -> None:
-    """Kernel A/Bs the round-4 verdict asked to measure:
-    (1) folded-heads flash decode for BF16 batched decode (b=4, 8K) vs the
+    """Standalone fallback for the kernel A/B sections (normally they run in
+    stage_sched's tail; the parent only schedules this stage when no
+    ``decode_b*`` section landed)."""
+    jax = _stage_setup(w)
+    _kern_sections(w, jax, lambda: float("inf"))
+
+
+def _kern_sections(w: StageWriter, jax, time_left) -> None:
+    """Kernel A/Bs the round-4 verdict asked to measure, in priority order:
+    (1) int8 KV vs bf16 KV where cache bytes rival weight bytes (b=16, 8K)
+        — the config where halved cache traffic must show up if it ever does
+        (it does: the crossover recorded in docs/08);
+    (2) folded-heads flash decode for BF16 batched decode (b=4, 8K) vs the
         per-head kernel vs XLA — the 8x per-program amortization argument,
         previously gated to quantized caches only;
-    (2) int8 KV vs bf16 KV where cache bytes rival weight bytes (b=16, 8K)
-        — the config where halved cache traffic must show up if it ever does;
-    (3) long context past 8K: 16K-context b=1 decode, XLA vs flash."""
-    jax = _stage_setup(w)
+    (3) long context past 8K: 16K-context b=1 decode, XLA vs flash.
+    ``time_left()`` gates each config: skipping a config cleanly beats the
+    parent killing the stage mid-measurement."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -1161,8 +1231,8 @@ def stage_kern(w: StageWriter) -> None:
 
     if TINY_MODE:
         decode_steps = 8
-        configs = [("b2_256", 2, 256, ["xla", "flash_folded"], "bf16", 2),
-                   ("b4_256_kvab", 4, 256, ["xla"], "both", 2)]
+        configs = [("b2_256", 2, 256, ["xla", "flash_folded"], "bf16", 2, 0),
+                   ("b4_256_kvab", 4, 256, ["xla"], "both", 2, 0)]
     else:
         decode_steps = 64
 
@@ -1172,16 +1242,23 @@ def stage_kern(w: StageWriter) -> None:
                                 reserve_flat=1 << 30)
         l_b16 = pick_layer_count(device_budget(), kv_layer(16, 8192),
                                  reserve_flat=1 << 30)
-        l_16k = pick_layer_count(device_budget(), kv_layer(1, 16384),
-                                 reserve_flat=1 << 30)
+        # the 16K ratio (flash vs xla at long context) transfers across
+        # depth; capping layers keeps init+compile inside the stage tail
+        l_16k = min(16, pick_layer_count(device_budget(), kv_layer(1, 16384),
+                                         reserve_flat=1 << 30))
         configs = [
+            (f"b16_8k_{l_b16}L", 16, 8192, ["xla"], "both", l_b16, 50),
             (f"b4_8k_{l_b4}L", 4, 8192, ["xla", "flash", "flash_folded"],
-             "bf16", l_b4),
-            (f"b16_8k_{l_b16}L", 16, 8192, ["xla"], "both", l_b16),
-            (f"b1_16k_{l_16k}L", 1, 16384, ["xla", "flash"], "bf16", l_16k),
+             "bf16", l_b4, 75),
+            (f"b1_16k_{l_16k}L", 1, 16384, ["xla", "flash"], "bf16",
+             l_16k, 50),
         ]
 
-    for tag, B, T, impls, kv_mode, n_layers in configs:
+    for tag, B, T, impls, kv_mode, n_layers, est_s in configs:
+        if time_left() < est_s:
+            w.mark(f"kern {tag} skipped: {time_left():.0f}s left < "
+                   f"~{est_s}s needed")
+            continue
         try:
             cfg = (ModelArgs(dim=256, n_layers=n_layers, n_heads=8,
                              n_kv_heads=4, vocab_size=2048, multiple_of=64,
@@ -1247,7 +1324,8 @@ def stage_kern(w: StageWriter) -> None:
             w.mark(f"kern {tag} skipped: {exc}")
 
 
-def stage_entry(stage: str, out_path: str) -> None:
+def stage_entry(stage: str, out_path: str,
+                budget_s: float = float("inf")) -> None:
     w = StageWriter(out_path)
     try:
         if stage == "main":
@@ -1257,7 +1335,7 @@ def stage_entry(stage: str, out_path: str) -> None:
         elif stage == "quant":
             stage_quant(w)
         elif stage == "sched":
-            stage_sched(w)
+            stage_sched(w, budget_s=budget_s)
         elif stage == "kern":
             stage_kern(w)
         else:
@@ -1270,6 +1348,9 @@ def stage_entry(stage: str, out_path: str) -> None:
 if __name__ == "__main__":
     if "--stage" in sys.argv:
         i = sys.argv.index("--stage")
-        stage_entry(sys.argv[i + 1], sys.argv[sys.argv.index("--out") + 1])
+        budget = (float(sys.argv[sys.argv.index("--budget") + 1])
+                  if "--budget" in sys.argv else float("inf"))
+        stage_entry(sys.argv[i + 1], sys.argv[sys.argv.index("--out") + 1],
+                    budget)
     else:
         parent_main()

@@ -50,8 +50,10 @@ def test_bench_pipeline_tiny():
                 "continuous_sched_overhead_vs_rawscan",
                 "paged_sched_b2_delivered_tokens_per_s",
                 "speculative_plain_sync_tokens_per_s",
-                "speculative_ngram_k2_tokens_per_s",
-                "speculative_ngram_k2_acceptance",
+                "speculative_ngram_k4_tokens_per_s",
+                "speculative_ngram_k4_acceptance",
+                "speculative_cyclic_k4_tokens_per_s",
+                "speculative_cyclic_k4_acceptance",
                 "spec_verify_s5_vs_s1_step_cost",
                 "decode_b2_256_bf16kv_flash_folded_tokens_per_s",
                 "decode_b4_256_kvab_int8kv_flash_tokens_per_s"):
