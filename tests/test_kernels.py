@@ -147,6 +147,50 @@ def test_flash_decode_vector_positions():
     np.testing.assert_allclose(got_q, ref_q, rtol=3e-2, atol=3e-2)
 
 
+def test_flash_decode_16k_shaped_cache():
+    """Long-context shape parity (VERDICT round-5 item 7): the decode kernel
+    at a 16K-deep cache buffer — 8 tiles of the production block_k=2048 —
+    must match the masked XLA path at positions near the end. Tiny head
+    count keeps interpret mode fast; the tile math is what 16K exercises."""
+    from llama_nuts_and_bolts_tpu.kernels.decode_attention import (
+        flash_decode_attention,
+    )
+
+    B, H, KV, D, T = 1, 4, 2, 128, 16384
+    q, k, v = make_qkv(B, 1, H, KV, D, T, seed=11)
+    for pos in (16380, 8192, 2047):
+        mask = attention_mask(1, T, pos)[None]
+        ref = np.asarray(gqa_attention(q, k, v, mask), np.float32)
+        got = np.asarray(flash_decode_attention(
+            q, k, v, pos, block_k=2048, interpret=True), np.float32)
+        np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_forward_decode_16k_context_flash_matches_xla():
+    """Full forward at a 16K cache with scaled RoPE active past the 8K
+    original context — the engine-level shape of bench's decode_b1_16k
+    sections, pinned on CPU."""
+    from llama_nuts_and_bolts_tpu.io.params import ModelArgs
+    from llama_nuts_and_bolts_tpu.models.llama import (
+        forward, init_random_params,
+    )
+    from llama_nuts_and_bolts_tpu.models.llama.model import KVCache
+
+    cfg = ModelArgs(dim=256, n_layers=1, n_heads=2, n_kv_heads=1,
+                    vocab_size=96, multiple_of=32, use_scaled_rope=True,
+                    max_sequence_length=16384)
+    params = jax.jit(init_random_params, static_argnums=(0,))(
+        cfg, jax.random.PRNGKey(2))
+    tok = jnp.asarray([[7]], jnp.int32)
+    pos = 16000
+    ref, _ = forward(params, cfg, tok, pos, KVCache.create(cfg, 1, 16384))
+    got, _ = forward(params, cfg, tok, pos, KVCache.create(cfg, 1, 16384),
+                     attn_impl="flash")
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=5e-2)
+
+
 def test_forward_flash_folded_bf16_decode_matches_xla():
     """attn_impl='flash_folded' — the folded-heads decode kernel on a BF16
     cache (one grid program per cache tile serves all KV heads) — must match
