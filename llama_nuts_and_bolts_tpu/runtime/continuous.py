@@ -160,14 +160,22 @@ class Request:
 
     def cancel(self) -> None:
         """Stop generating for this request: its slot and any cache blocks
-        are released at the scheduler's next step. Safe to call at any time,
-        from any thread, including after completion (no-op then)."""
+        are released at the scheduler's next step, which also delivers a
+        terminal CANCELLED sentinel so a consumer blocked in ``tokens()``
+        ends cleanly (round-5 fuzz finding: without it, draining a
+        cancelled request waited out its full timeout). Safe to call at any
+        time, from any thread, including after completion (no-op then)."""
         self.cancelled = True
 
     def tokens(self, timeout: Optional[float] = None):
-        """Iterate (state, token_id) until the request finishes."""
+        """Iterate (state, token_id) until the request finishes. A
+        cancelled request's stream simply ENDS (the CANCELLED sentinel is
+        consumed here, never yielded): whatever was delivered before the
+        cancel took effect is a valid prefix of the sequential stream."""
         while True:
             state, tok = self.out.get(timeout=timeout)
+            if state is GenerationState.CANCELLED:
+                return
             yield state, tok
             if state != GenerationState.IN_PROGRESS:
                 return
@@ -314,6 +322,7 @@ class ContinuousBatcher:
             except queue.Empty:
                 return
             if req.cancelled:
+                req.out.put((GenerationState.CANCELLED, -1))
                 continue
             plen = len(req.prompt)
             self._set_sampling(slot, req)
@@ -454,6 +463,10 @@ class ContinuousBatcher:
         for slot, r in enumerate(self.slots):
             if r is not None and r.cancelled:
                 self._release_slot(slot)
+                # AFTER release: any in-flight delivery for this slot is
+                # identity-dropped from here on, so the sentinel is the
+                # queue's final entry
+                r.out.put((GenerationState.CANCELLED, -1))
 
     # ------------------------------------------------- pipelined plain step
 

@@ -60,6 +60,7 @@ from llama_nuts_and_bolts_tpu.ops.sampling import (
     sample_tokens_batched,
     top_logprobs_batched,
 )
+from llama_nuts_and_bolts_tpu.runtime.types import GenerationState
 from llama_nuts_and_bolts_tpu.runtime.continuous import (
     LOGPROBS_K,
     ContinuousBatcher,
@@ -293,6 +294,7 @@ class PagedBatcher(ContinuousBatcher):
             if req is None:
                 return
             if req.cancelled:
+                req.out.put((GenerationState.CANCELLED, -1))
                 continue
             plen = len(req.prompt)
             total_needed = plen // bs + 1                  # prompt + next write

@@ -16,6 +16,13 @@ class GenerationState(enum.Enum):
     IN_PROGRESS = 1
     FINISHED_BY_REACHING_EOS = 2
     FINISHED_BY_REACHING_SEQ_LEN = 3
+    # Beyond-reference extension (the reference's three states above map to
+    # src/inference/inference.go's GenerationState values): the serving
+    # schedulers deliver this as a terminal SENTINEL on request.cancel() so
+    # a consumer blocked in Request.tokens() terminates instead of waiting
+    # out its timeout. Request.tokens() swallows it — consumers never see a
+    # token for it.
+    CANCELLED = 4
 
 
 @dataclass

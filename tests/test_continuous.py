@@ -223,6 +223,42 @@ def test_cancel_mid_flight_with_pipeline():
     assert drain(r3) == seq_tokens([3, 3, 3, 3])
 
 
+def test_fuzzed_admission_cancel_schedule_matches_sequential():
+    """Randomized interleavings of submit/cancel/step (seeded, 3 schedules)
+    against a quantum-2 pipelined batcher: every surviving request's stream
+    must equal the sequential engine's exactly; a cancelled request must
+    have delivered a PREFIX of it. Covers the interactions no directed test
+    enumerates — admission splicing into a live chain, cancel of a
+    just-admitted request, back-to-back slot reuse."""
+    for seed in (1234, 99, 7):
+        rng = np.random.RandomState(seed)
+        eng = make_engine(sequence_length=24)
+        cb = ContinuousBatcher(eng, n_slots=2, step_quantum=2)
+        prompts = [[1 + int(rng.randint(90))
+                    for _ in range(1 + int(rng.randint(6)))]
+                   for _ in range(8)]
+        expected = {i: seq_tokens(p) for i, p in enumerate(prompts)}
+        reqs, cancelled, nxt = {}, set(), 0
+        while nxt < len(prompts) or cb.has_work:
+            act = rng.rand()
+            if act < 0.35 and nxt < len(prompts):
+                reqs[nxt] = cb.submit(prompts[nxt])
+                nxt += 1
+            elif act < 0.45 and reqs:
+                i = int(rng.choice(sorted(reqs)))
+                if i not in cancelled:
+                    reqs[i].cancel()
+                    cancelled.add(i)
+            else:
+                cb.step()
+        for i, r in reqs.items():
+            got = drain(r)
+            if i in cancelled:
+                assert got == expected[i][:len(got)], (seed, i)
+            else:
+                assert got == expected[i], (seed, i)
+
+
 def test_max_new_tokens_cap():
     eng = make_engine(sequence_length=24)
     cb = ContinuousBatcher(eng, n_slots=1)

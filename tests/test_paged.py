@@ -453,3 +453,41 @@ def test_paged_spec_mixed_greedy_and_sampled():
     rs2 = cb2.submit([7, 8], temperature=0.9, seed=11)
     cb2.run_until_idle()
     assert [t for _, t in drain(rs2)] == out_s1
+
+
+def test_fuzzed_paged_schedule_matches_sequential():
+    """Randomized submit/cancel/step interleavings against the PAGED batcher
+    with a deliberately tight pool (starvation in the mix): surviving
+    requests match the sequential engine exactly; cancelled or
+    pool-starved requests deliver a prefix. Twin of the continuous fuzz."""
+    rng = np.random.RandomState(4242)
+    cb = make_paged(n_slots=2, n_blocks=9)  # 8 usable blocks of 8 slots
+    cb.step_quantum = 2
+    prompts = [[1 + int(rng.randint(90))
+                for _ in range(1 + int(rng.randint(6)))]
+               for _ in range(8)]
+    expected = {i: seq_tokens(p) for i, p in enumerate(prompts)}
+    reqs, cancelled, nxt = {}, set(), 0
+    while nxt < len(prompts) or cb.has_work:
+        act = rng.rand()
+        if act < 0.35 and nxt < len(prompts):
+            reqs[nxt] = cb.submit(prompts[nxt])
+            nxt += 1
+        elif act < 0.45 and reqs:
+            i = int(rng.choice(sorted(reqs)))
+            if i not in cancelled:
+                reqs[i].cancel()
+                cancelled.add(i)
+        else:
+            cb.step()
+    for i, r in reqs.items():
+        got = drain(r)
+        if i in cancelled:
+            assert got == expected[i][:len(got)], i
+        else:
+            # a starved request finishes early at a sequential PREFIX with
+            # a SEQ_LEN terminal — full equality unless the pool cut it off
+            toks = [t for _s, t in got]
+            exp = [t for _s, t in expected[i]]
+            assert toks == exp[:len(toks)], i
+            assert len(toks) > 0, i
