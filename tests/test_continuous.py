@@ -259,6 +259,40 @@ def test_fuzzed_admission_cancel_schedule_matches_sequential():
                 assert got == expected[i], (seed, i)
 
 
+def test_fuzzed_speculative_schedule_matches_sequential():
+    """The same randomized schedule against the SPECULATIVE batcher
+    (speculate_k=2): draft acceptance/rejection storms interleaved with
+    admission and cancellation must still deliver exact sequential streams
+    (or prefixes for cancelled requests)."""
+    rng = np.random.RandomState(31337)
+    eng = make_engine(sequence_length=24)
+    cb = ContinuousBatcher(eng, n_slots=2, speculate_k=2)
+    # repetitive prompts raise the n-gram proposer's fire rate
+    prompts = [[1 + int(rng.randint(8))
+                for _ in range(2 + int(rng.randint(5)))] * 2
+               for _ in range(6)]
+    expected = {i: seq_tokens(p) for i, p in enumerate(prompts)}
+    reqs, cancelled, nxt = {}, set(), 0
+    while nxt < len(prompts) or cb.has_work:
+        act = rng.rand()
+        if act < 0.35 and nxt < len(prompts):
+            reqs[nxt] = cb.submit(prompts[nxt])
+            nxt += 1
+        elif act < 0.42 and reqs:
+            i = int(rng.choice(sorted(reqs)))
+            if i not in cancelled:
+                reqs[i].cancel()
+                cancelled.add(i)
+        else:
+            cb.step()
+    for i, r in reqs.items():
+        got = drain(r)
+        if i in cancelled:
+            assert got == expected[i][:len(got)], i
+        else:
+            assert got == expected[i], i
+
+
 def test_max_new_tokens_cap():
     eng = make_engine(sequence_length=24)
     cb = ContinuousBatcher(eng, n_slots=1)
