@@ -490,3 +490,42 @@ def test_chat_streamed_logprobs_rejected_with_stop(cont_server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_midstream_client_disconnect_frees_slot(cont_server):
+    """A client that opens a stream, reads a couple of SSE chunks, and
+    slams the socket shut must not wedge the scheduler: the write error
+    cancels the batcher request (slot freed — /health active returns to 0)
+    and subsequent requests serve normally."""
+    import socket
+    import time as _time
+    from urllib.parse import urlparse
+
+    u = urlparse(cont_server)
+    body = json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                       "max_tokens": 24, "stream": True}).encode()
+    s = socket.create_connection((u.hostname, u.port), timeout=30)
+    s.sendall(b"POST /v1/chat/completions HTTP/1.1\r\n"
+              b"Host: x\r\nContent-Type: application/json\r\n"
+              b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+              + body)
+    s.recv(512)              # headers + first chunk(s) arrive
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                 b"\x01\x00\x00\x00\x00\x00\x00\x00")  # RST on close
+    s.close()
+
+    # the generator unwinds on the next failed write; slot drains to 0
+    deadline = _time.time() + 30
+    while _time.time() < deadline:
+        with urllib.request.urlopen(cont_server + "/health", timeout=30) as r:
+            h = json.loads(r.read())
+        if h["continuous"]["active"] == 0:
+            break
+        _time.sleep(0.2)
+    assert h["continuous"]["active"] == 0, h
+
+    status, resp = post(cont_server + "/v1/chat/completions",
+                        {"messages": [{"role": "user", "content": "again"}],
+                         "max_tokens": 6})
+    assert status == 200
+    assert resp["choices"][0]["finish_reason"] in ("stop", "length")
