@@ -1323,6 +1323,81 @@ def _kern_sections(w: StageWriter, jax, time_left) -> None:
         except Exception as exc:  # noqa: BLE001
             w.mark(f"kern {tag} skipped: {exc}")
 
+    # -- paged decode kernel A/B: block-table Pallas vs the XLA gather -------
+    # "the Pallas paged kernel beats the gather path" previously lived only
+    # in commit messages (round-4 verdict finding) — record it officially.
+    try:
+        from llama_nuts_and_bolts_tpu.models.llama.paged import (
+            PagedKVPool, paged_decode_step,
+        )
+
+        if TINY_MODE:
+            B, T, bs, pg_layers, pg_steps = 2, 128, 16, 1, 4
+            pg_cfg = ModelArgs(dim=256, n_layers=1, n_heads=8, n_kv_heads=4,
+                               vocab_size=2048, multiple_of=64, norm_eps=1e-5,
+                               rope_theta=500000.0, use_scaled_rope=True,
+                               max_sequence_length=T)
+        else:
+            if time_left() < 60:
+                raise RuntimeError(f"{time_left():.0f}s left < ~60s needed")
+            B, T, bs, pg_steps = 4, 2048, 64, 48
+            n_blocks = 1 + B * (T // bs)
+            pool_per_layer = 2 * n_blocks * 8 * bs * 128 * 2
+            pg_layers = pick_layer_count(device_budget(), pool_per_layer,
+                                         reserve_flat=1 << 30)
+            pg_cfg = ModelArgs(dim=4096, n_layers=pg_layers, n_heads=32,
+                               n_kv_heads=8, vocab_size=128256,
+                               multiple_of=1024, ffn_dim_multiplier=1.3,
+                               norm_eps=1e-5, rope_theta=500000.0,
+                               use_scaled_rope=True, max_sequence_length=T)
+        w.mark(f"kern paged A/B: init params ({pg_layers}L, split layout)")
+        params = jax.jit(init_random_params, static_argnums=(0, 2, 3))(
+            pg_cfg, jax.random.PRNGKey(0), jnp.bfloat16, False)
+        sync(params)
+        n_blocks = 1 + B * (T // bs)
+        per_row = T // bs
+        tables = jnp.asarray(
+            [[1 + i * per_row + j for j in range(per_row)]
+             for i in range(B)], jnp.int32)
+        poss = jnp.full((B,), T - pg_steps - 2, jnp.int32)
+        tok = jnp.ones((B, 1), jnp.int32)
+
+        def make_paged_decode(impl):
+            def decode(params, pool, tok, poss):
+                def body(carry, _):
+                    tok, poss, pool = carry
+                    logits, pool = paged_decode_step(
+                        params, pg_cfg, tok, poss, pool, tables,
+                        attn_impl=impl)
+                    nxt = jnp.argmax(logits, axis=-1)[:, None].astype(
+                        jnp.int32)
+                    return (nxt, poss + 1, pool), nxt[:, 0]
+
+                (tok, poss, pool), toks = lax.scan(
+                    body, (tok, poss, pool), None, length=pg_steps)
+                return toks, pool
+
+            return decode
+
+        for impl in ("xla", "pallas"):
+            djit = jax.jit(make_paged_decode(impl), donate_argnums=(1,))
+            toks, pool2 = djit(params, PagedKVPool.create(pg_cfg, n_blocks, bs),
+                               tok, poss)
+            sync(toks)  # compile
+            del pool2
+            pool = PagedKVPool.create(pg_cfg, n_blocks, bs)
+            t0 = time.perf_counter()
+            toks, pool2 = djit(params, pool, tok, poss)
+            sync(toks)
+            rate = B * pg_steps / (time.perf_counter() - t0)
+            del pool2
+            w.section(f"decode_paged_b{B}_t{T}_{impl}_tokens_per_s",
+                      round(rate, 2))
+            w.mark(f"kern paged {impl}: {rate:.2f} tok/s")
+        del params
+    except Exception as exc:  # noqa: BLE001
+        w.mark(f"kern paged A/B skipped: {exc}")
+
 
 def stage_entry(stage: str, out_path: str,
                 budget_s: float = float("inf")) -> None:

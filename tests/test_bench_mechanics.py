@@ -56,7 +56,9 @@ def test_bench_pipeline_tiny():
                 "speculative_cyclic_k4_acceptance",
                 "spec_verify_s5_vs_s1_step_cost",
                 "decode_b2_256_bf16kv_flash_folded_tokens_per_s",
-                "decode_b4_256_kvab_int8kv_flash_tokens_per_s"):
+                "decode_b4_256_kvab_int8kv_flash_tokens_per_s",
+                "decode_paged_b2_t128_xla_tokens_per_s",
+                "decode_paged_b2_t128_pallas_tokens_per_s"):
         assert key in detail, (key, sorted(detail))
 
 
