@@ -950,10 +950,11 @@ def stage_sched(w: StageWriter, budget_s: float = float("inf")) -> None:
     prompts = [[3 + 7 * i + j for j in range(10 + (i % 3))]
                for i in range(NREQ)]
 
-    def drive(cb, tag, n_req=None, max_new=None):
+    def drive(cb, tag, n_req=None, max_new=None, use_prompts=None):
         """Submit requests, step the scheduler to completion, and time
         every delivered token through req.tokens() from consumer threads."""
-        subset = prompts[:n_req] if n_req else prompts
+        pool = use_prompts if use_prompts is not None else prompts
+        subset = pool[:n_req] if n_req else pool
         reqs = [cb.submit(p, max_new_tokens=max_new or MAXNEW)
                 for p in subset]
         arrivals = [[] for _ in reqs]
@@ -985,10 +986,14 @@ def stage_sched(w: StageWriter, budget_s: float = float("inf")) -> None:
                f"(p50 {p50 * 1e3:.1f} ms, p95 {p95 * 1e3:.1f} ms)")
         return rate
 
-    def warm(cb):
+    def warm(cb, prompt=None):
         """One short request end-to-end: compiles the batcher's prefill and
-        decode executables outside the measured window."""
-        r = cb.submit(prompts[0], max_new_tokens=3)
+        decode executables outside the measured window. ``prompt`` must
+        share the drive's prefill BUCKET — warming bucket 16 then driving a
+        bucket-32 prompt leaves a 15-25 s compile inside the timed window
+        (measured: it halved a spec drive's apparent delivered rate 8x)."""
+        r = cb.submit(prompt if prompt is not None else prompts[0],
+                      max_new_tokens=3)
         while cb.has_work:
             cb.step()
         list(r.tokens(timeout=1200))
@@ -1150,6 +1155,67 @@ def stage_sched(w: StageWriter, budget_s: float = float("inf")) -> None:
         for k in (2, 4):
             w.mark(f"speculative k={k} on the cyclic model")
             spec_sections("cyclic", model_cyc, cyc_prompt, k, cyc_plain)
+
+        # The remaining shipped speculation variants at the same measured
+        # acceptance ceiling — in-batch (continuous), paged, and two-model
+        # draft — so every variant has an official device record.
+        if not TINY_MODE and time_left() > 100:
+            eng_cyc = InferenceEngine(model_cyc,
+                                      InferenceArgs(sequence_length=CTX))
+            cyc_prompts = [list(range(CYC)) * 3 for _ in range(2 * SLOTS)]
+            try:
+                w.mark("in-batch speculation (continuous batcher, cyclic)")
+                scb = ContinuousBatcher(eng_cyc, n_slots=SLOTS,
+                                        speculate_k=4)
+                warm(scb, prompt=cyc_prompts[0])
+                drive(scb, "spec_batch_cyclic_k4", use_prompts=cyc_prompts,
+                      max_new=MAXNEW)
+                del scb
+            except Exception as exc:  # noqa: BLE001
+                w.mark(f"in-batch spec skipped: {exc}")
+            try:
+                w.mark("paged speculation (paged batcher, cyclic)")
+                spb = PagedBatcher(eng_cyc, n_slots=SLOTS,
+                                   n_blocks=1 + SLOTS * (CTX // 64),
+                                   block_size=64, speculate_k=4)
+                warm(spb, prompt=cyc_prompts[0])
+                drive(spb, "spec_paged_cyclic_k4", use_prompts=cyc_prompts,
+                      max_new=MAXNEW)
+                del spb
+            except Exception as exc:  # noqa: BLE001
+                w.mark(f"paged spec skipped: {exc}")
+            try:
+                w.mark("two-model draft speculation (2L cyclic draft)")
+                cfg_d = dataclasses.replace(cfg, n_layers=2)
+                params_d = dataclasses.replace(
+                    params_cyc,
+                    layers={kk: v[:2] for kk, v in
+                            params_cyc.layers.items()})
+                draft = LoadedModel(params=params_d, cfg=cfg_d, vocab=vocab,
+                                    mergeable_ranks=ranks, tensor_meta={})
+                e = InferenceEngine(model_cyc,
+                                    InferenceArgs(sequence_length=CTX,
+                                                  speculate_k=4),
+                                    draft_model=draft)
+                list(e.generate_tokens(cyc_prompt, max_new_tokens=4))
+                t0 = time.perf_counter()
+                toks = list(e.generate_tokens(cyc_prompt,
+                                              max_new_tokens=spec_new))
+                rate = len(toks) / (time.perf_counter() - t0)
+                st = getattr(e, "spec_stats", None)
+                acc = (st["accepted"] / st["drafted"]
+                       if st and st["drafted"] else 0.0)
+                w.section("speculative_draft2L_k4_tokens_per_s",
+                          round(rate, 2))
+                w.section("speculative_draft2L_k4_acceptance", round(acc, 4))
+                w.section("speculative_draft2L_k4_vs_plain",
+                          round(rate / cyc_plain, 4))
+                w.mark(f"draft spec: {rate:.2f} tok/s, acceptance {acc:.2%} "
+                       f"({st})")
+                del e, draft, params_d
+            except Exception as exc:  # noqa: BLE001
+                w.mark(f"draft spec skipped: {exc}")
+            del eng_cyc
         del params_cyc, model_cyc, layers_cyc, out_cyc
     except Exception as exc:  # noqa: BLE001
         w.mark(f"speculative section skipped: {exc}")
