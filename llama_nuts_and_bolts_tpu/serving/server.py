@@ -412,6 +412,19 @@ class LlamaHTTPServer:
                 "# TYPE llama_batch_pending gauge",
                 f"llama_batch_pending {b.pending.qsize()}",
             ]
+            if b.speculate_k:
+                # acceptance = accepted/drafted is THE number that decides
+                # whether --speculate pays for a workload (docs/21's
+                # formula); production must be able to read it
+                s = b.spec_stats
+                lines += [
+                    "# TYPE llama_spec_drafted_total counter",
+                    f"llama_spec_drafted_total {s['drafted']}",
+                    "# TYPE llama_spec_accepted_total counter",
+                    f"llama_spec_accepted_total {s['accepted']}",
+                    "# TYPE llama_spec_verify_steps_total counter",
+                    f"llama_spec_verify_steps_total {s['spec_steps']}",
+                ]
             if hasattr(b, "allocator"):
                 lines += [
                     "# TYPE llama_kv_blocks_free gauge",
@@ -459,6 +472,16 @@ class LlamaHTTPServer:
                             "active": sum(r is not None for r in b.slots),
                             "pending": b.pending.qsize(),
                         }
+                        if b.speculate_k:
+                            s = b.spec_stats
+                            info["continuous"]["speculation"] = {
+                                "k": b.speculate_k,
+                                "drafted": s["drafted"],
+                                "accepted": s["accepted"],
+                                "acceptance": (round(
+                                    s["accepted"] / s["drafted"], 4)
+                                    if s["drafted"] else None),
+                            }
                         if hasattr(b, "allocator"):
                             info["continuous"]["paged"] = {
                                 "block_size": b.block_size,

@@ -529,3 +529,27 @@ def test_midstream_client_disconnect_frees_slot(cont_server):
                          "max_tokens": 6})
     assert status == 200
     assert resp["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_speculation_acceptance_exposed_in_metrics_and_health():
+    """--continuous + --speculate must export acceptance telemetry: the
+    number that decides whether speculation pays for a workload (docs/21)
+    has to be readable in production, not only on the sequential engine."""
+    eng = make_engine(sequence_length=32, speculate_k=2)
+    srv = LlamaHTTPServer(eng, model_name="tiny-spec", continuous_slots=2)
+    port = srv.start_background()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        post(base + "/v1/completions", {"prompt": "aaaa aaaa aaaa",
+                                        "max_tokens": 10})
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            text = r.read().decode()
+        assert "llama_spec_drafted_total" in text
+        assert "llama_spec_verify_steps_total" in text
+        with urllib.request.urlopen(base + "/health", timeout=30) as r:
+            h = json.loads(r.read())
+        spec = h["continuous"]["speculation"]
+        assert spec["k"] == 2
+        assert {"drafted", "accepted", "acceptance"} <= set(spec)
+    finally:
+        srv.shutdown()
