@@ -1152,7 +1152,11 @@ def stage_sched(w: StageWriter, budget_s: float = float("inf")) -> None:
                   round(cyc_plain, 2))
         w.mark(f"cyclic model plain: {cyc_plain:.2f} tok/s (step-cost "
                f"parity vs random plain {plain_rate:.2f})")
-        for k in (2, 4):
+        for k in (2, 4, 8):
+            # k=8 completes the dial's curve: at full acceptance each
+            # verify round-trip delivers k+1 tokens, so the sequential
+            # ceiling scales ~(k+1)/RTT until the verify step's own cost
+            # (S=k+1 rows) starts to show
             w.mark(f"speculative k={k} on the cyclic model")
             spec_sections("cyclic", model_cyc, cyc_prompt, k, cyc_plain)
 
